@@ -1,0 +1,165 @@
+"""Batched pyramidal KLT tracker.
+
+Reference analog: boofcv-feature alg/tracker/klt/KltTracker.java:55
+(inverse-compositional translation-only KLT, per-feature Gauss-Newton on a
+square template), PyramidKltTracker.java:37 (coarse-to-fine over the
+pyramid), KltTrackFault.java (per-track fault codes).
+
+TPU design (SURVEY §7 stage 2): ALL tracks are advanced simultaneously —
+track state is a fixed-capacity [N] pool; each GN iteration is a batched
+bilinear patch gather + batched 2x2 solve (vmap across features), levels
+unrolled coarse-to-fine, iterations via lax.fori_loop.  One jit, zero
+host sync per frame.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from boofcv_tpu.ip.interpolate import bilinear
+
+
+# Fault codes (KltTrackFault analog)
+TRACK_OK = 0
+FAULT_OUT_OF_BOUNDS = 1
+FAULT_FAILED = 2          # singular Gauss-Newton system
+FAULT_DRIFTED = 3         # did not converge
+FAULT_LARGE_ERROR = 4     # per-pixel SSD error above maxPerPixelError
+
+
+@dataclass(frozen=True)
+class KltConfig:
+    """PkltConfig analog (struct/pyramid config lives separately)."""
+    template_radius: int = 3
+    max_iterations: int = 15
+    max_per_pixel_error: float = 25.0
+    min_determinant: float = 0.001
+    convergence_tol: float = 0.01  # pixels at the level's scale
+
+
+class KltTemplates(NamedTuple):
+    """Per-track templates at every pyramid level.
+
+    desc[level]: [N, P, P] grayscale template; grad_x/grad_y likewise.
+    Stored per level exactly like PyramidKltFeature in the reference.
+    """
+    desc: Tuple[jnp.ndarray, ...]
+    grad_x: Tuple[jnp.ndarray, ...]
+    grad_y: Tuple[jnp.ndarray, ...]
+
+
+def _patch_coords(cy, cx, radius):
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    yy = cy[:, None, None] + d[None, :, None]
+    xx = cx[:, None, None] + d[None, None, :]
+    return yy, xx
+
+
+def sample_templates(pyramid: Sequence[jnp.ndarray],
+                     grads: Tuple[Sequence[jnp.ndarray], Sequence[jnp.ndarray]],
+                     ys: jnp.ndarray, xs: jnp.ndarray,
+                     scales: Sequence[int], radius: int) -> KltTemplates:
+    """Sample template + gradient patches at every level for N features.
+
+    ys/xs are level-0 (full-res) float coordinates.  Analog of
+    PointTrackerKltPyramid.addNewTracks setting descriptions.
+    """
+    dxs, dys = grads
+    desc, gx, gy = [], [], []
+    for lvl, s in enumerate(scales):
+        cy = ys / s
+        cx = xs / s
+        yy, xx = _patch_coords(cy, cx, radius)
+        desc.append(bilinear(pyramid[lvl], yy, xx))
+        gx.append(bilinear(dxs[lvl], yy, xx))
+        gy.append(bilinear(dys[lvl], yy, xx))
+    return KltTemplates(tuple(desc), tuple(gx), tuple(gy))
+
+
+def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
+    """One level of inverse-compositional KLT for all N tracks at once.
+
+    image: [h, w]; desc/gx/gy: [N, P, P]; cy/cx: [N] initial positions at
+    this level's scale.  Returns (cy, cx, fault).
+    """
+    n = desc.shape[0]
+    r = cfg.template_radius
+    h, w = image.shape
+
+    # Inverse-compositional: Hessian from template gradients, constant
+    # across iterations (KltTracker precomputes Gxx,Gxy,Gyy at :147).
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    # reference compares det/area against minDeterminant (KltTracker.java:251)
+    area = (2 * r + 1) ** 2
+    ok_det = det / area >= cfg.min_determinant
+
+    def body(_, state):
+        cy, cx, done = state
+        yy, xx = _patch_coords(cy, cx, r)
+        cur = bilinear(image, yy, xx)
+        err = cur - desc  # [N, P, P]
+        bx = jnp.sum(err * gx, axis=(1, 2))
+        by = jnp.sum(err * gy, axis=(1, 2))
+        safe_det = jnp.where(det == 0, 1.0, det)
+        dx = (gyy * bx - gxy * by) / safe_det
+        dy = (gxx * by - gxy * bx) / safe_det
+        step = jnp.where(done[:, None], 0.0, jnp.stack([dy, dx], axis=1))
+        cy = cy - step[:, 0]
+        cx = cx - step[:, 1]
+        converged = (jnp.abs(dx) < cfg.convergence_tol) & (jnp.abs(dy) < cfg.convergence_tol)
+        return cy, cx, done | converged
+
+    done0 = jnp.zeros((n,), dtype=bool)
+    cy, cx, converged = lax.fori_loop(0, cfg.max_iterations, body, (cy, cx, done0))
+
+    # final error + bounds check
+    yy, xx = _patch_coords(cy, cx, r)
+    cur = bilinear(image, yy, xx)
+    per_pixel = jnp.mean(jnp.abs(cur - desc), axis=(1, 2))
+    in_bounds = ((cy >= r) & (cy <= h - 1 - r) & (cx >= r) & (cx <= w - 1 - r))
+
+    fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
+    fault = jnp.where(per_pixel > cfg.max_per_pixel_error, FAULT_LARGE_ERROR, fault)
+    fault = jnp.where(~converged, FAULT_DRIFTED, fault)
+    fault = jnp.where(~ok_det, FAULT_FAILED, fault)
+    fault = jnp.where(~in_bounds, FAULT_OUT_OF_BOUNDS, fault)
+    return cy, cx, fault
+
+
+def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
+                  ys: jnp.ndarray, xs: jnp.ndarray,
+                  scales: Sequence[int], cfg: KltConfig):
+    """Coarse-to-fine tracking of all N features (PyramidKltTracker.track:113).
+
+    ys/xs: [N] full-resolution positions.  Returns (ys, xs, fault) — fault
+    is the worst fault seen at any level (OK if all levels tracked).
+    """
+    n = ys.shape[0]
+    fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
+    num_levels = len(scales)
+    cy = ys / scales[-1]
+    cx = xs / scales[-1]
+    for lvl in range(num_levels - 1, -1, -1):
+        s = scales[lvl]
+        cy_l, cx_l, f = _track_level(
+            pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
+            templates.grad_y[lvl], cy, cx, cfg)
+        # tracks that fault keep their pre-level position (will be dropped)
+        good = f == TRACK_OK
+        cy = jnp.where(good, cy_l, cy)
+        cx = jnp.where(good, cx_l, cx)
+        fault = jnp.maximum(fault, f)
+        if lvl > 0:
+            ratio = s / scales[lvl - 1]
+            cy = cy * ratio
+            cx = cx * ratio
+    return cy, cx, fault

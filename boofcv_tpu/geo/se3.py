@@ -1,0 +1,99 @@
+"""SE(3) / SO(3) utilities.
+
+Reference analog: GeoRegression Se3_F64 + boofcv-geo's Rodrigues jacobian
+machinery (alg/geo/pose/PnPJacobianRodrigues.java).  Rotations are 3x3
+matrices on the outside, so(3) exp/log for optimization steps.  Everything
+broadcasts over leading batch dims.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def hat(w):
+    """so(3) hat operator: [..., 3] -> [..., 3, 3]."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    return jnp.stack([
+        jnp.stack([z, -wz, wy], axis=-1),
+        jnp.stack([wz, z, -wx], axis=-1),
+        jnp.stack([-wy, wx, z], axis=-1),
+    ], axis=-2)
+
+
+def exp_so3(w):
+    """Rodrigues' formula: [..., 3] -> [..., 3, 3]."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    K = hat(w)
+    K2 = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    t2 = theta * theta
+    # stable small-angle coefficients
+    small = theta < 1e-7
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    b = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    return eye + a * K + b * K2
+
+
+def log_so3(R):
+    """[..., 3, 3] -> [..., 3] axis-angle."""
+    tr = jnp.trace(R, axis1=-2, axis2=-1)
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    v = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                   R[..., 0, 2] - R[..., 2, 0],
+                   R[..., 1, 0] - R[..., 0, 1]], axis=-1)
+    small = theta[..., None] < 1e-7
+    scale = jnp.where(small[..., 0], 0.5 + theta ** 2 / 12.0,
+                      theta / (2.0 * jnp.where(small[..., 0], 1.0, jnp.sin(theta))))
+    return v * scale[..., None]
+
+
+def exp_se3(xi):
+    """se(3) exp: [..., 6] (w, v ordering: rotation first) -> (R, t)."""
+    w = xi[..., :3]
+    v = xi[..., 3:]
+    R = exp_so3(w)
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    K = hat(w)
+    K2 = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    t2 = theta * theta
+    small = theta < 1e-7
+    b = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, t2 * theta))
+    V = eye + b * K + c * K2
+    t = (V @ v[..., None])[..., 0]
+    return R, t
+
+
+def compose(Ra, ta, Rb, tb):
+    """(Ra, ta) ∘ (Rb, tb): apply b then a (x -> Ra(Rb x + tb) + ta)."""
+    return Ra @ Rb, (Ra @ tb[..., None])[..., 0] + ta
+
+
+def invert(R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -(Rt @ t[..., None])[..., 0]
+
+
+def transform(R, t, points):
+    """Apply SE3 to [..., N, 3] points."""
+    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+
+
+def rotation_angle(R):
+    tr = jnp.trace(R, axis1=-2, axis2=-1)
+    return jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+
+
+def project_to_so3(M):
+    """Nearest rotation matrix via SVD (sign-corrected)."""
+    U, _, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    return (U * D[..., None, :]) @ Vt

@@ -1,0 +1,183 @@
+"""Binary-image operations: morphology, blob labeling, contours.
+
+Reference analog: boofcv-ip alg/filter/binary/BinaryImageOps.java,
+LinearContourLabelChang2004.java.  Morphology = min/max stencils (pure
+VPU).  Connected-component labeling — inherently sequential union-find in
+the reference — becomes iterative min-label propagation under
+``lax.while_loop`` (converges in O(diameter) sweeps, each sweep a fused
+9-point stencil; fine for the blob sizes calibration/fiducial work sees).
+Contour extraction is a host-side finisher on the labeled image.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _neighbor_stack(image: jnp.ndarray, eight: bool, pad_value):
+    p = jnp.pad(image, 1, mode="constant", constant_values=pad_value)
+    h, w = image.shape
+    offs4 = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    offs8 = offs4 + [(0, 0), (0, 2), (2, 0), (2, 2)]
+    offs = offs8 if eight else offs4
+    return jnp.stack([p[dy:dy + h, dx:dx + w] for dy, dx in offs], axis=0)
+
+
+def erode4(image: jnp.ndarray) -> jnp.ndarray:
+    """BinaryImageOps.erode4: pixel survives iff all 4-neighbors are 1."""
+    n = _neighbor_stack(image, False, 0)
+    return (image.astype(jnp.uint8) & (jnp.min(n, axis=0) > 0)).astype(jnp.uint8)
+
+
+def erode8(image: jnp.ndarray) -> jnp.ndarray:
+    n = _neighbor_stack(image, True, 0)
+    return (image.astype(jnp.uint8) & (jnp.min(n, axis=0) > 0)).astype(jnp.uint8)
+
+
+def dilate4(image: jnp.ndarray) -> jnp.ndarray:
+    n = _neighbor_stack(image, False, 0)
+    return ((image > 0) | (jnp.max(n, axis=0) > 0)).astype(jnp.uint8)
+
+
+def dilate8(image: jnp.ndarray) -> jnp.ndarray:
+    n = _neighbor_stack(image, True, 0)
+    return ((image > 0) | (jnp.max(n, axis=0) > 0)).astype(jnp.uint8)
+
+
+def edge4(image: jnp.ndarray, outside_zero: bool = True) -> jnp.ndarray:
+    """BinaryImageOps.edge4: 1-pixels with at least one 0 4-neighbor."""
+    n = _neighbor_stack(image, False, 0 if outside_zero else 1)
+    return ((image > 0) & (jnp.min(n, axis=0) == 0)).astype(jnp.uint8)
+
+
+def edge8(image: jnp.ndarray, outside_zero: bool = True) -> jnp.ndarray:
+    n = _neighbor_stack(image, True, 0 if outside_zero else 1)
+    return ((image > 0) & (jnp.min(n, axis=0) == 0)).astype(jnp.uint8)
+
+
+def remove_point_noise(image: jnp.ndarray) -> jnp.ndarray:
+    """BinaryImageOps.removePointNoise: majority vote of 8-neighbors."""
+    n = _neighbor_stack(image, True, 0)
+    count = jnp.sum(n > 0, axis=0)
+    return jnp.where(count > 5, 1, jnp.where(count < 3, 0, image)).astype(jnp.uint8)
+
+
+def opening(image, eight=False, times=1):
+    e, d = (erode8, dilate8) if eight else (erode4, dilate4)
+    out = image
+    for _ in range(times):
+        out = e(out)
+    for _ in range(times):
+        out = d(out)
+    return out
+
+
+def closing(image, eight=False, times=1):
+    e, d = (erode8, dilate8) if eight else (erode4, dilate4)
+    out = image
+    for _ in range(times):
+        out = d(out)
+    for _ in range(times):
+        out = e(out)
+    return out
+
+
+def label_blobs(binary: jnp.ndarray, eight: bool = True,
+                max_iters: int = 0) -> jnp.ndarray:
+    """Connected-component labeling by iterative min-label propagation.
+
+    Returns int32 label image; 0 = background, components numbered by the
+    (raster) index of their minimum pixel + 1 (NOT compacted — use
+    :func:`relabel_compact` for contiguous ids, as the reference's
+    LinearContourLabelChang2004 produces).
+    """
+    h, w = binary.shape
+    fg = binary > 0
+    init = jnp.where(
+        fg, jnp.arange(1, h * w + 1, dtype=jnp.int32).reshape(h, w), jnp.int32(0)
+    )
+    big = jnp.int32(h * w + 2)
+
+    def sweep(labels):
+        cur = jnp.where(fg, labels, big)
+        n = _neighbor_stack(cur, eight, big)
+        best = jnp.minimum(jnp.min(n, axis=0), cur)
+        return jnp.where(fg, best, 0)
+
+    def cond(state):
+        labels, prev, it = state
+        changed = jnp.any(labels != prev)
+        if max_iters:
+            return changed & (it < max_iters)
+        return changed
+
+    def body(state):
+        labels, _, it = state
+        return sweep(labels), labels, it + 1
+
+    labels0 = sweep(init)
+    labels, _, _ = lax.while_loop(cond, body, (labels0, init, jnp.int32(0)))
+    return labels
+
+
+def relabel_compact(labels) -> np.ndarray:
+    """Host-side: renumber labels to 1..N (background stays 0)."""
+    lab = np.asarray(labels)
+    uniq = np.unique(lab)
+    uniq = uniq[uniq != 0]
+    out = np.zeros_like(lab)
+    for i, u in enumerate(uniq, start=1):
+        out[lab == u] = i
+    return out
+
+
+def contour_external(binary, label: int | None = None) -> list[np.ndarray]:
+    """Host-side external contour tracing (Moore neighborhood, CW), analog of
+    LinearExternalContours.java.  Returns a list of [K, 2] (x, y) arrays,
+    one per blob, ordered by first (raster) pixel."""
+    img = np.asarray(binary) > 0
+    h, w = img.shape
+    contours = []
+    # Moore neighborhood (dy, dx), clockwise in image coords starting from W
+    nbr = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
+
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = img
+    traced = np.zeros_like(padded)
+    for y in range(1, h + 1):
+        for x in range(1, w + 1):
+            if not padded[y, x] or traced[y, x] or padded[y, x - 1]:
+                continue
+            # First move: the raster scan entered from the west (background),
+            # so the backtrack direction is W (index 0); search clockwise.
+            first = None
+            for i in range(1, 9):
+                dd = i % 8
+                if padded[y + nbr[dd][0], x + nbr[dd][1]]:
+                    first = dd
+                    break
+            if first is None:  # isolated pixel
+                traced[y, x] = True
+                contours.append(np.array([(x - 1, y - 1)], dtype=np.int32))
+                continue
+            # Radial-sweep trace; terminate when the (pixel, direction) state
+            # repeats — this visits every external-boundary pixel exactly as
+            # the reference's tracer does (LinearExternalContours.java).
+            contour = []
+            states = set()
+            cy, cx, d = y, x, first
+            while (cy, cx, d) not in states:
+                states.add((cy, cx, d))
+                contour.append((cx - 1, cy - 1))
+                traced[cy, cx] = True
+                cy, cx = cy + nbr[d][0], cx + nbr[d][1]
+                for i in range(8):
+                    dd = (d + 6 + i) % 8
+                    if padded[cy + nbr[dd][0], cx + nbr[dd][1]]:
+                        d = dd
+                        break
+            contours.append(np.array(contour, dtype=np.int32))
+    return contours

@@ -1,0 +1,96 @@
+"""Pixel interpolation (reference analog: boofcv-ip alg/interpolate/*).
+
+Bilinear / nearest / bicubic point samplers, batched over arbitrary
+coordinate arrays — one fused gather+lerp expression, the TPU analog of
+BilinearPixelS.java's per-pixel method.  Coordinates follow the BoofCV
+convention: integer coordinates hit pixel centers, valid domain is
+[0, W-1] x [0, H-1]; out-of-range samples clamp (EXTENDED border).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def nearest(image: jnp.ndarray, ys, xs) -> jnp.ndarray:
+    h, w = image.shape[:2]
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
+    return image[yi, xi]
+
+
+def bilinear(image: jnp.ndarray, ys, xs) -> jnp.ndarray:
+    """Bilinear sample at float coords; ys/xs any (matching) shape."""
+    h, w = image.shape[:2]
+    ys = jnp.asarray(ys)
+    xs = jnp.asarray(xs)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0).astype(image.dtype) if jnp.issubdtype(image.dtype, jnp.floating) else (ys - y0)
+    fx = (xs - x0).astype(fy.dtype) if hasattr(fy, "dtype") else xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    v00 = image[y0i, x0i]
+    v01 = image[y0i, x1i]
+    v10 = image[y1i, x0i]
+    v11 = image[y1i, x1i]
+    if image.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _cubic_weights(t, a: float = -0.5):
+    """Keys cubic convolution weights for offsets (-1, 0, 1, 2)."""
+    t2 = t * t
+    t3 = t2 * t
+    w_m1 = a * (t3 - 2 * t2 + t)
+    w_0 = (a + 2) * t3 - (a + 3) * t2 + 1
+    w_1 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+    w_2 = a * (t2 - t3)
+    return w_m1, w_0, w_1, w_2
+
+
+def bicubic(image: jnp.ndarray, ys, xs) -> jnp.ndarray:
+    """Bicubic (Keys a=-0.5) sample, analog of PolynomialPixel bicubic use."""
+    h, w = image.shape
+    ys = jnp.asarray(ys)
+    xs = jnp.asarray(xs)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ty = ys - y0
+    tx = xs - x0
+    wy = _cubic_weights(ty)
+    wx = _cubic_weights(tx)
+    acc = 0.0
+    for iy, wyi in enumerate(wy):
+        yy = jnp.clip(y0.astype(jnp.int32) + (iy - 1), 0, h - 1)
+        row = 0.0
+        for ix, wxi in enumerate(wx):
+            xx = jnp.clip(x0.astype(jnp.int32) + (ix - 1), 0, w - 1)
+            row = row + image[yy, xx] * wxi
+        acc = acc + row * wyi
+    return acc
+
+
+def in_bounds(shape_hw, ys, xs, border: float = 0.0):
+    """Mask of coordinates whose bilinear support is fully inside the image."""
+    h, w = shape_hw
+    return ((ys >= border) & (ys <= h - 1 - border)
+            & (xs >= border) & (xs <= w - 1 - border))
+
+
+def sample_rect_bilinear(image: jnp.ndarray, cy, cx, radius: int) -> jnp.ndarray:
+    """Sample a (2r+1)^2 patch centered at float (cy, cx) with bilinear interp.
+
+    Batched: cy/cx of shape [N] -> [N, 2r+1, 2r+1].  This is the TPU analog
+    of InterpolateRectangle (used by the KLT template sampler).
+    """
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    yy = cy[:, None, None] + d[None, :, None]
+    xx = cx[:, None, None] + d[None, None, :]
+    return bilinear(image, yy, xx)
