@@ -1,0 +1,219 @@
+"""Perspective-n-Point pose estimation.
+
+Reference analog: boofcv-geo alg/geo/pose/ — P3PGrunert.java (closed-form
+3-point), PnPLepetitEPnP.java:104 (EPnP), the DLT PnP, and the nonlinear
+refiner with Rodrigues jacobians (PnPJacobianRodrigues.java).
+
+TPU design: P3P is the RANSAC minimal solver — written fully batched so K
+hypotheses solve as one quartic-root (companion eigenvalue) batch; the
+absolute-orientation step (point-cloud alignment) is a batched 3x3 SVD.
+The refiner is Gauss-Newton on se(3) with a fixed iteration count
+(lax.fori_loop), replacing the reference's ddogleg LM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from boofcv_tpu.geo import se3
+
+
+def _quartic_roots(c4, c3, c2, c1, c0):
+    """Real roots of a quartic via 4x4 companion eigenvalues, batched.
+
+    Returns (roots [..., 4], real_mask [..., 4]).
+    """
+    c4s = jnp.where(jnp.abs(c4) < 1e-30, 1e-30, c4)
+    b3, b2, b1, b0 = c3 / c4s, c2 / c4s, c1 / c4s, c0 / c4s
+    z = jnp.zeros_like(b3)
+    o = jnp.ones_like(b3)
+    C = jnp.stack([
+        jnp.stack([z, z, z, -b0], axis=-1),
+        jnp.stack([o, z, z, -b1], axis=-1),
+        jnp.stack([z, o, z, -b2], axis=-1),
+        jnp.stack([z, z, o, -b3], axis=-1),
+    ], axis=-2)
+    ev = jnp.linalg.eigvals(C)
+    real = jnp.abs(ev.imag) < 1e-8 * (1.0 + jnp.abs(ev.real))
+    return ev.real, real
+
+
+def absolute_orientation(world, cam):
+    """Rigid alignment world->camera minimizing ||R w + t - c|| (batched
+    Umeyama without scale; reference: FitSpecialEuclideanOps / the SVD
+    alignment inside P3P pose recovery).
+
+    world, cam: [..., N, 3].  Returns (R [..., 3, 3], t [..., 3]).
+    """
+    world = world.astype(jnp.float64)
+    cam = cam.astype(jnp.float64)
+    wm = jnp.mean(world, axis=-2, keepdims=True)
+    cm = jnp.mean(cam, axis=-2, keepdims=True)
+    W = jnp.swapaxes(world - wm, -1, -2) @ (cam - cm)  # [..., 3, 3]
+    U, s, Vt = jnp.linalg.svd(W)
+    # R = V diag(1,1,det) U^T  (maps world->cam)
+    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.swapaxes(Vt, -1, -2) * D[..., None, :] @ jnp.swapaxes(U, -1, -2)
+    t = cm[..., 0, :] - (R @ wm[..., 0, :, None])[..., 0]
+    return R, t
+
+
+def p3p_grunert(world, obs):
+    """Grunert's P3P (P3PGrunert.java), batched over hypotheses.
+
+    world: [..., 3, 3] three 3D points; obs: [..., 3, 2] normalized image
+    coords.  Returns (R [..., 4, 3, 3], t [..., 4, 3], valid [..., 4]):
+    up to 4 pose solutions per sample (quartic roots), camera-from-world.
+    """
+    world = world.astype(jnp.float64)
+    obs = obs.astype(jnp.float64)
+    # unit bearing vectors
+    f = jnp.concatenate([obs, jnp.ones_like(obs[..., :1])], axis=-1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+    P1, P2, P3 = world[..., 0, :], world[..., 1, :], world[..., 2, :]
+    # side lengths
+    a = jnp.linalg.norm(P2 - P3, axis=-1)
+    b = jnp.linalg.norm(P1 - P3, axis=-1)
+    c = jnp.linalg.norm(P1 - P2, axis=-1)
+    # angles
+    cos_alpha = jnp.sum(f2 * f3, axis=-1)
+    cos_beta = jnp.sum(f1 * f3, axis=-1)
+    cos_gamma = jnp.sum(f1 * f2, axis=-1)
+
+    a2, b2, c2 = a * a, b * b, c * c
+    # Grunert's quartic in v where s2 = u*s1... following the classical
+    # derivation (Haralick et al. review of P3P):
+    q1 = (a2 - c2) / b2
+    q2 = (a2 + c2) / b2
+    q3 = (b2 - c2) / b2
+    q4 = (b2 - a2) / b2
+
+    A4 = (q1 - 1.0) ** 2 - 4.0 * c2 / b2 * cos_alpha ** 2
+    A3 = 4.0 * (q1 * (1.0 - q1) * cos_beta
+                - (1.0 - q2) * cos_alpha * cos_gamma
+                + 2.0 * c2 / b2 * cos_alpha ** 2 * cos_beta)
+    A2 = 2.0 * (q1 ** 2 - 1.0
+                + 2.0 * q1 ** 2 * cos_beta ** 2
+                + 2.0 * q3 * cos_alpha ** 2
+                - 4.0 * q2 * cos_alpha * cos_beta * cos_gamma
+                + 2.0 * q4 * cos_gamma ** 2)
+    A1 = 4.0 * (-q1 * (1.0 + q1) * cos_beta
+                + 2.0 * a2 / b2 * cos_gamma ** 2 * cos_beta
+                - (1.0 - q2) * cos_alpha * cos_gamma)
+    A0 = (1.0 + q1) ** 2 - 4.0 * a2 / b2 * cos_gamma ** 2
+
+    v, real = _quartic_roots(A4, A3, A2, A1, A0)  # [..., 4]
+
+    # back-substitute: u from v, then s1
+    cb = cos_beta[..., None]
+    ca = cos_alpha[..., None]
+    cg = cos_gamma[..., None]
+    q1e = q1[..., None]
+    q3e = q3[..., None]
+    b2e = b2[..., None]
+    a2e = a2[..., None]
+    c2e = c2[..., None]
+    num = (-1.0 + q1e) * v * v - 2.0 * q1e * cb * v + 1.0 + q1e
+    den = 2.0 * (cg - v * ca)
+    den = jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+    u = num / den
+    s1sq_den = 1.0 + u * u - 2.0 * u * cg
+    s1sq_den = jnp.where(jnp.abs(s1sq_den) < 1e-30, 1e-30, s1sq_den)
+    s1 = jnp.sqrt(jnp.maximum(c2e / s1sq_den, 0.0))
+    s2 = u * s1
+    s3 = v * s1
+    ok = real & (s1 > 0) & (s2 > 0) & (s3 > 0)
+
+    # camera-frame points, then absolute orientation per root
+    cam1 = s1[..., None] * f1[..., None, :]  # [..., 4, 3]
+    cam2 = s2[..., None] * f2[..., None, :]
+    cam3 = s3[..., None] * f3[..., None, :]
+    cam = jnp.stack([cam1, cam2, cam3], axis=-2)  # [..., 4, 3pts, 3]
+    worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
+    R, t = absolute_orientation(worldr, cam)
+    return R, t, ok
+
+
+def pnp_dlt(world, obs):
+    """DLT PnP for N>=6 points (PoseFromPairLinear6 analog).
+
+    world: [..., N, 3]; obs: [..., N, 2] normalized coords.  Returns
+    (R, t) camera-from-world with R projected onto SO(3).
+    """
+    world = world.astype(jnp.float64)
+    obs = obs.astype(jnp.float64)
+    X, Y, Z = world[..., 0], world[..., 1], world[..., 2]
+    x, y = obs[..., 0], obs[..., 1]
+    z = jnp.zeros_like(X)
+    o = jnp.ones_like(X)
+    r1 = jnp.stack([X, Y, Z, o, z, z, z, z, -x * X, -x * Y, -x * Z, -x], axis=-1)
+    r2 = jnp.stack([z, z, z, z, X, Y, Z, o, -y * X, -y * Y, -y * Z, -y], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)  # [..., 2N, 12]
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    w, v = jnp.linalg.eigh(AtA)
+    p = v[..., :, 0]
+    P = p.reshape(p.shape[:-1] + (3, 4))
+    # fix sign: points should have positive depth
+    Xh = jnp.concatenate([world, jnp.ones_like(world[..., :1])], axis=-1)
+    depth = jnp.einsum("...j,...nj->...n", P[..., 2, :], Xh)
+    sign = jnp.where(jnp.mean(jnp.sign(depth), axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    P = P * sign[..., None]
+    M = P[..., :3]
+    # scale so that R has unit determinant-ish: use norm of third row
+    scale = jnp.linalg.norm(M[..., 2, :], axis=-1)
+    M = M / scale[..., None, None]
+    t = P[..., 3] / scale[..., None]
+    R = se3.project_to_so3(M)
+    return R, t
+
+
+def reprojection_error_sq(R, t, world, obs):
+    """Squared reprojection error in normalized image coords, batched.
+
+    R: [..., 3, 3], t: [..., 3], world: [..., N, 3], obs: [..., N, 2].
+    Returns [..., N].  (PnPDistanceReprojectionSq analog; behind-camera
+    points get +inf as the reference marks them unusable.)
+    """
+    Xc = world @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    zc = Xc[..., 2]
+    proj = Xc[..., :2] / jnp.where(jnp.abs(zc) < 1e-12, 1e-12, zc)[..., None]
+    err = jnp.sum((proj - obs) ** 2, axis=-1)
+    return jnp.where(zc <= 0, jnp.inf, err)
+
+
+def refine_pnp(R, t, world, obs, iterations: int = 10, damping: float = 1e-8):
+    """Gauss-Newton refinement of (R, t) minimizing reprojection error.
+
+    Replaces the reference's ddogleg LM refiner (PnPRefineRodrigues).
+    world: [N, 3], obs: [N, 2] normalized coords.  Runs a fixed number of
+    iterations (static shape); each iteration is one 6x6 solve.
+    """
+    world = world.astype(jnp.float64)
+    obs = obs.astype(jnp.float64)
+
+    def residual(xi, R0, t0):
+        dR, dt = se3.exp_se3(xi)
+        Rc, tc = se3.compose(dR, dt, R0, t0)
+        Xc = world @ Rc.T + tc
+        z = Xc[..., 2]
+        proj = Xc[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)[..., None]
+        return (proj - obs).ravel()
+
+    def body(_, state):
+        R0, t0 = state
+        xi0 = jnp.zeros((6,), jnp.float64)
+        J = jax.jacfwd(residual)(xi0, R0, t0)  # [2N, 6]
+        r = residual(xi0, R0, t0)
+        H = J.T @ J + damping * jnp.eye(6, dtype=jnp.float64)
+        g = J.T @ r
+        dx = -jnp.linalg.solve(H, g)
+        dR, dt = se3.exp_se3(dx)
+        Rn, tn = se3.compose(dR, dt, R0, t0)
+        return Rn, tn
+
+    R, t = jax.lax.fori_loop(0, iterations, body,
+                             (R.astype(jnp.float64), t.astype(jnp.float64)))
+    return R, t

@@ -1,0 +1,265 @@
+"""Hypothesis-parallel robust estimation (RANSAC / LMedS).
+
+Reference analog: the ddogleg `Ransac` / `LeastMedianOfSquares` loop driven
+through boofcv-geo's ModelGenerator/DistanceFromModel adapters
+(alg/geo/robust/, factory/geo/FactoryMultiViewRobust.java:109).  The
+reference iterates hypotheses sequentially with early exit.
+
+TPU design (SURVEY §2.4): draw ALL K hypothesis sample sets up front,
+solve every minimal problem in one vmapped batch, score all K x N
+residuals as one reduction, argmax inlier count.  Fixed K (static shape)
+replaces early exit — choose K >= the reference's iteration budget.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RansacResult(NamedTuple):
+    model: object            # best model pytree (leading axes stripped)
+    inliers: jnp.ndarray     # [N] bool
+    num_inliers: jnp.ndarray  # scalar int
+    best_error: jnp.ndarray  # scalar: sum of clipped errors for best model
+
+
+def sample_indices(key, num_hypotheses: int, sample_size: int, n: int,
+                   valid_mask=None):
+    """[K, S] random index sets.
+
+    Sampling with replacement within a set is avoided by drawing scores and
+    taking top-S per hypothesis (a permutation trick — O(K N log N) but one
+    fused op).  If valid_mask is given, invalid entries are never chosen
+    (assumes >= S valid).
+    """
+    scores = jax.random.uniform(key, (num_hypotheses, n))
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask[None, :], scores, -1.0)
+    _, idx = jax.lax.top_k(scores, sample_size)
+    return idx
+
+
+def ransac(key, points, solver: Callable, scorer: Callable,
+           sample_size: int, num_hypotheses: int, inlier_threshold: float,
+           valid_mask=None, solutions_per_sample: int = 1):
+    """Generic hypothesis-parallel RANSAC.
+
+    points: pytree of arrays with leading axis N (e.g. (p1 [N,2], p2 [N,2])).
+    solver(sampled_points) -> model pytree with leading axis
+        ``solutions_per_sample`` (or no extra axis if 1) — vmapped over K.
+    scorer(model, points) -> [N] per-point error (inf = unusable).
+    Returns :class:`RansacResult`; model leaves have hypothesis axes
+    removed.  MSAC-style scoring (clipped error) breaks inlier-count ties
+    the same way the reference's fit-quality ordering does.
+    """
+    leaves = jax.tree_util.tree_leaves(points)
+    n = leaves[0].shape[0]
+    idx = sample_indices(key, num_hypotheses, sample_size, n, valid_mask)
+    sampled = jax.tree_util.tree_map(lambda a: a[idx], points)  # leading [K, S]
+
+    models = jax.vmap(solver)(sampled)
+
+    if solutions_per_sample > 1:
+        # flatten [K, M, ...] -> [K*M, ...]
+        models = jax.tree_util.tree_map(
+            lambda a: a.reshape((num_hypotheses * solutions_per_sample,) + a.shape[2:]),
+            models)
+
+    def score_one(model):
+        return scorer(model, points)
+
+    errors = jax.vmap(score_one)(models)  # [K(*M), N]
+    # degenerate hypotheses can emit NaN — treat as unusable, not poison
+    errors = jnp.where(jnp.isnan(errors), jnp.inf, errors)
+    if valid_mask is not None:
+        errors = jnp.where(valid_mask[None, :], errors, jnp.inf)
+    is_in = errors <= inlier_threshold
+    counts = jnp.sum(is_in, axis=-1)
+    # MSAC score: sum of min(err, threshold)
+    msac = jnp.sum(jnp.minimum(errors, inlier_threshold), axis=-1)
+    # primary: max inliers; tie-break: min msac
+    order = counts.astype(jnp.float64) - msac / (msac.max() + 1.0)
+    best = jnp.argmax(order)
+    best_model = jax.tree_util.tree_map(lambda a: a[best], models)
+    return RansacResult(best_model, is_in[best], counts[best], msac[best])
+
+
+def least_median_of_squares(key, points, solver, scorer, sample_size,
+                            num_hypotheses, valid_mask=None,
+                            solutions_per_sample: int = 1,
+                            inlier_fraction: float = 0.5):
+    """LMedS (ddogleg LeastMedianOfSquares analog): minimize the median
+    (or given quantile) of squared errors; inliers = errors <= 2.5 * sigma
+    with the standard robust sigma estimate."""
+    leaves = jax.tree_util.tree_leaves(points)
+    n = leaves[0].shape[0]
+    idx = sample_indices(key, num_hypotheses, sample_size, n, valid_mask)
+    sampled = jax.tree_util.tree_map(lambda a: a[idx], points)
+    models = jax.vmap(solver)(sampled)
+    if solutions_per_sample > 1:
+        models = jax.tree_util.tree_map(
+            lambda a: a.reshape((num_hypotheses * solutions_per_sample,) + a.shape[2:]),
+            models)
+    errors = jax.vmap(lambda m: scorer(m, points))(models)
+    if valid_mask is not None:
+        big = jnp.nanmax(jnp.where(jnp.isfinite(errors), errors, 0.0)) + 1.0
+        errors = jnp.where(valid_mask[None, :], errors, big)
+    errs_sorted = jnp.sort(jnp.where(jnp.isfinite(errors), errors, 1e30), axis=-1)
+    q = jnp.clip(jnp.int32(n * inlier_fraction), 0, n - 1)
+    med = errs_sorted[:, q]
+    best = jnp.argmin(med)
+    best_model = jax.tree_util.tree_map(lambda a: a[best], models)
+    sigma = 1.4826 * (1.0 + 5.0 / (n - sample_size)) * jnp.sqrt(med[best])
+    inliers = errors[best] <= (2.5 * sigma) ** 2
+    return RansacResult(best_model, inliers, jnp.sum(inliers), med[best])
+
+
+# ---------------------------------------------------------------------------
+# Pre-wired robust estimators (FactoryMultiViewRobust analogs)
+# ---------------------------------------------------------------------------
+
+def ransac_fundamental(key, p1, p2, num_hypotheses: int = 512,
+                       inlier_threshold_px: float = 1.0, valid_mask=None,
+                       refit_rounds: int = 2):
+    """Robust F via 7-point minimal sets + Sampson distance
+    (FactoryMultiViewRobust.fundamentalRansac:273), followed by
+    LO-RANSAC-style weighted 8-point refits on the inlier set (the
+    reference pairs RANSAC with a nonlinear refine; linear refit on
+    inliers recovers the same accuracy here)."""
+    from boofcv_tpu.geo import epipolar
+
+    def solver(sample):
+        s1, s2 = sample
+        F3, real = epipolar.fundamental_7pt(s1, s2)
+        # invalid roots get F=identity-ish which scores terribly: mask by
+        # scaling invalid to zero matrix -> infinite sampson handled below
+        F3 = jnp.where(real[:, None, None], F3, jnp.eye(3, dtype=F3.dtype))
+        return F3, real
+
+    def scorer(model, points):
+        F, real = model
+        q1, q2 = points
+        err = epipolar.sampson_error(F, q1.astype(jnp.float64),
+                                     q2.astype(jnp.float64))
+        return jnp.where(real, err, jnp.inf)
+
+    res = ransac(key, (p1, p2), solver, scorer, sample_size=7,
+                 num_hypotheses=num_hypotheses,
+                 inlier_threshold=inlier_threshold_px ** 2,
+                 valid_mask=valid_mask, solutions_per_sample=3)
+    F, _ = res.model
+    inliers = res.inliers
+    thr = inlier_threshold_px ** 2
+    p164 = p1.astype(jnp.float64)
+    p264 = p2.astype(jnp.float64)
+    for _ in range(refit_rounds):
+        F = epipolar.fundamental_8pt(p164, p264, weights=inliers)
+        err = epipolar.sampson_error(F, p164, p264)
+        err = jnp.where(jnp.isnan(err), jnp.inf, err)
+        if valid_mask is not None:
+            err = jnp.where(valid_mask, err, jnp.inf)
+        inliers = err <= thr
+    msac = jnp.sum(jnp.minimum(err, thr))
+    return RansacResult((F, jnp.asarray(True)), inliers,
+                        jnp.sum(inliers), msac)
+
+
+def ransac_essential(key, p1n, p2n, num_hypotheses: int = 512,
+                     inlier_threshold: float = 1e-3, valid_mask=None):
+    """Robust E from normalized coords via 8-point minimal sets + Sampson."""
+    from boofcv_tpu.geo import epipolar
+
+    def solver(sample):
+        s1, s2 = sample
+        return epipolar.essential_8pt(s1, s2)
+
+    def scorer(E, points):
+        q1, q2 = points
+        return epipolar.sampson_error(E, q1.astype(jnp.float64),
+                                      q2.astype(jnp.float64))
+
+    return ransac(key, (p1n, p2n), solver, scorer, sample_size=8,
+                  num_hypotheses=num_hypotheses,
+                  inlier_threshold=inlier_threshold, valid_mask=valid_mask)
+
+
+def ransac_homography(key, p1, p2, num_hypotheses: int = 512,
+                      inlier_threshold_px: float = 2.0, valid_mask=None):
+    from boofcv_tpu.geo import epipolar
+
+    def solver(sample):
+        s1, s2 = sample
+        return epipolar.homography_dlt(s1, s2)
+
+    def scorer(H, points):
+        q1, q2 = points
+        return epipolar.homography_transfer_error(
+            H, q1.astype(jnp.float64), q2.astype(jnp.float64))
+
+    return ransac(key, (p1, p2), solver, scorer, sample_size=4,
+                  num_hypotheses=num_hypotheses,
+                  inlier_threshold=inlier_threshold_px ** 2,
+                  valid_mask=valid_mask)
+
+
+def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
+               inlier_threshold: float = 1e-3, valid_mask=None,
+               refine_iterations: int = 10):
+    """Robust camera pose from 2D/3D via batched P3P + GN refine on inliers
+    (FactoryVisualOdometry.stereoDepth RANSAC assembly, :209).
+
+    obs in normalized image coords; threshold in normalized units
+    (the reference converts a pixel threshold via fx — do that upstream).
+    Returns (RansacResult, (R_refined, t_refined)).
+    """
+    from boofcv_tpu.geo import pnp
+
+    def solver(sample):
+        w, o = sample
+        R4, t4, ok = pnp.p3p_grunert(w, o)
+        return R4, t4, ok
+
+    def scorer(model, points):
+        R, t, ok = model
+        w, o = points
+        err = pnp.reprojection_error_sq(R, t, w.astype(jnp.float64),
+                                        o.astype(jnp.float64))
+        return jnp.where(ok, err, jnp.inf)
+
+    result = ransac(key, (world, obs), solver, scorer, sample_size=3,
+                    num_hypotheses=num_hypotheses,
+                    inlier_threshold=inlier_threshold,
+                    valid_mask=valid_mask, solutions_per_sample=4)
+    R, t, _ = result.model
+    # weighted GN refine on inliers (mask via zero-weight residuals)
+    w64 = world.astype(jnp.float64)
+    o64 = obs.astype(jnp.float64)
+    mask = result.inliers
+
+    def residual(xi, R0, t0):
+        from boofcv_tpu.geo import se3 as _se3
+        dR, dt = _se3.exp_se3(xi)
+        Rc, tc = _se3.compose(dR, dt, R0, t0)
+        Xc = w64 @ Rc.T + tc
+        z = Xc[..., 2]
+        proj = Xc[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)[..., None]
+        r = (proj - o64) * mask[:, None]
+        return r.ravel()
+
+    def body(_, state):
+        from boofcv_tpu.geo import se3 as _se3
+        R0, t0 = state
+        xi0 = jnp.zeros((6,), jnp.float64)
+        J = jax.jacfwd(residual)(xi0, R0, t0)
+        r = residual(xi0, R0, t0)
+        H = J.T @ J + 1e-9 * jnp.eye(6, dtype=jnp.float64)
+        dx = -jnp.linalg.solve(H, J.T @ r)
+        dR, dt = _se3.exp_se3(dx)
+        return _se3.compose(dR, dt, R0, t0)
+
+    Rr, tr = jax.lax.fori_loop(0, refine_iterations, body, (R, t))
+    return result, (Rr, tr)

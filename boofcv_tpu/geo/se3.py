@@ -23,17 +23,21 @@ def hat(w):
 
 
 def exp_so3(w):
-    """Rodrigues' formula: [..., 3] -> [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    """Rodrigues' formula: [..., 3] -> [..., 3, 3].
+
+    Written so both branches of every `where` are differentiable at w=0
+    (sqrt is only applied to a clamped argument), making jacfwd/jacrev
+    through exp at the identity NaN-free — required by the GN refiners.
+    """
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]  # [..., 1, 1]
     K = hat(w)
     K2 = K @ K
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    t2 = theta * theta
-    # stable small-angle coefficients
-    small = theta < 1e-7
-    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(small, 0.5 - t2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    small = t2 < 1e-14
+    t2s = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
     return eye + a * K + b * K2
 
 
@@ -56,16 +60,16 @@ def exp_se3(xi):
     w = xi[..., :3]
     v = xi[..., 3:]
     R = exp_so3(w)
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
     K = hat(w)
     K2 = K @ K
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
-    t2 = theta * theta
-    small = theta < 1e-7
-    b = jnp.where(small, 0.5 - t2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
+    small = t2 < 1e-14
+    t2s = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2s)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2s)
     c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, t2 * theta))
+                  (theta - jnp.sin(theta)) / (t2s * theta))
     V = eye + b * K + c * K2
     t = (V @ v[..., None])[..., 0]
     return R, t

@@ -1,0 +1,230 @@
+"""Synthetic-geometry oracle tests (SURVEY §4.4: random 3D scenes + known
+cameras; estimators must recover ground truth)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from boofcv_tpu.geo import se3, epipolar, triangulate, pnp, robust
+
+
+def make_scene(rng, n=50, noise=0.0):
+    """Random 3D points seen by two cameras; returns GT + normalized obs."""
+    pts = np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(2, 5, n)
+    ], axis=1)
+    w = rng.normal(0, 0.05, 3)
+    R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+    t = np.array([0.3, -0.1, 0.05])
+    p1 = pts[:, :2] / pts[:, 2:3]
+    pc2 = pts @ R.T + t
+    p2 = pc2[:, :2] / pc2[:, 2:3]
+    if noise:
+        p1 = p1 + rng.normal(0, noise, p1.shape)
+        p2 = p2 + rng.normal(0, noise, p2.shape)
+    return pts, R, t, p1, p2
+
+
+def essential_from_rt(R, t):
+    tx = np.asarray(se3.hat(jnp.asarray(t)))
+    return tx @ R
+
+
+def test_so3_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 1, (10, 3))
+    R = se3.exp_so3(jnp.asarray(w))
+    w2 = se3.log_so3(R)
+    np.testing.assert_allclose(np.asarray(w2), w, atol=1e-8)
+
+
+def test_se3_exp_compose_invert():
+    rng = np.random.default_rng(1)
+    xi = jnp.asarray(rng.normal(0, 0.5, 6))
+    R, t = se3.exp_se3(xi)
+    Ri, ti = se3.invert(R, t)
+    Rc, tc = se3.compose(R, t, Ri, ti)
+    np.testing.assert_allclose(np.asarray(Rc), np.eye(3), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(tc), 0, atol=1e-10)
+
+
+def test_fundamental_8pt_epipolar_constraint():
+    rng = np.random.default_rng(2)
+    pts, R, t, p1, p2 = make_scene(rng, 30)
+    F = epipolar.fundamental_8pt(jnp.asarray(p1), jnp.asarray(p2))
+    err = epipolar.epipolar_constraint(F, jnp.asarray(p1), jnp.asarray(p2))
+    assert float(jnp.max(err)) < 1e-8
+    # rank 2
+    s = jnp.linalg.svd(F, compute_uv=False)
+    assert float(s[2]) < 1e-10
+
+
+def test_fundamental_7pt_contains_truth():
+    rng = np.random.default_rng(3)
+    pts, R, t, p1, p2 = make_scene(rng, 7)
+    F3, real = epipolar.fundamental_7pt(jnp.asarray(p1), jnp.asarray(p2))
+    errs = []
+    for i in range(3):
+        if bool(real[i]):
+            e = epipolar.epipolar_constraint(F3[i], jnp.asarray(p1), jnp.asarray(p2))
+            errs.append(float(jnp.max(e)))
+    assert errs and min(errs) < 1e-8
+
+
+def test_essential_decompose_recovers_pose():
+    rng = np.random.default_rng(4)
+    pts, R, t, p1, p2 = make_scene(rng, 40)
+    E = epipolar.essential_8pt(jnp.asarray(p1), jnp.asarray(p2))
+    R4, t4 = epipolar.decompose_essential(E)
+    Rb, tb, _ = epipolar.select_pose_cheirality(R4, t4, jnp.asarray(p1), jnp.asarray(p2))
+    np.testing.assert_allclose(np.asarray(Rb), R, atol=1e-6)
+    tn = np.asarray(tb) / np.linalg.norm(np.asarray(tb))
+    tgt = t / np.linalg.norm(t)
+    np.testing.assert_allclose(np.abs(tn @ tgt), 1.0, atol=1e-6)
+
+
+def test_homography_dlt_on_plane():
+    rng = np.random.default_rng(5)
+    # planar scene z = 3
+    n = 20
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), np.full(n, 3.0)], 1)
+    w = rng.normal(0, 0.1, 3)
+    R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+    t = np.array([0.2, 0.1, -0.1])
+    p1 = pts[:, :2] / pts[:, 2:3]
+    pc2 = pts @ R.T + t
+    p2 = pc2[:, :2] / pc2[:, 2:3]
+    H = epipolar.homography_dlt(jnp.asarray(p1), jnp.asarray(p2))
+    err = epipolar.homography_transfer_error(H, jnp.asarray(p1), jnp.asarray(p2))
+    assert float(jnp.max(err)) < 1e-10
+
+
+def test_triangulate_linear_and_midpoint():
+    rng = np.random.default_rng(6)
+    pts, R, t, p1, p2 = make_scene(rng, 25)
+    Xl = triangulate.triangulate_two_view_linear(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(R), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(Xl), pts, atol=1e-6)
+    Xm = triangulate.triangulate_two_view_midpoint(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(R), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(Xm), pts, atol=1e-6)
+
+
+def test_triangulate_nview():
+    rng = np.random.default_rng(7)
+    n, v = 15, 4
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    rng.uniform(2, 5, n)], 1)
+    Rs, ts, obs = [], [], []
+    for i in range(v):
+        w = rng.normal(0, 0.05, 3)
+        R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        t = rng.normal(0, 0.2, 3)
+        pc = pts @ R.T + t
+        obs.append(pc[:, :2] / pc[:, 2:3])
+        Rs.append(R)
+        ts.append(t)
+    X = triangulate.triangulate_nview_linear(
+        jnp.asarray(np.stack(obs)), jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)))
+    np.testing.assert_allclose(np.asarray(X), pts, atol=1e-6)
+
+
+def test_p3p_grunert_contains_truth():
+    rng = np.random.default_rng(8)
+    pts, R, t, p1, p2 = make_scene(rng, 3)
+    R4, t4, ok = pnp.p3p_grunert(jnp.asarray(pts), jnp.asarray(p2))
+    best = np.inf
+    for i in range(4):
+        if bool(ok[i]):
+            dr = np.abs(np.asarray(R4[i]) - R).max()
+            dt = np.abs(np.asarray(t4[i]) - t).max()
+            best = min(best, max(dr, dt))
+    assert best < 1e-6
+
+
+def test_pnp_dlt_and_refine():
+    rng = np.random.default_rng(9)
+    pts, R, t, p1, p2 = make_scene(rng, 30, noise=1e-4)
+    Re, te = pnp.pnp_dlt(jnp.asarray(pts), jnp.asarray(p2))
+    assert np.abs(np.asarray(Re) - R).max() < 5e-3
+    Rr, tr = pnp.refine_pnp(Re, te, jnp.asarray(pts), jnp.asarray(p2))
+    # refined should beat linear
+    err_lin = float(jnp.mean(pnp.reprojection_error_sq(
+        Re, te, jnp.asarray(pts), jnp.asarray(p2))))
+    err_ref = float(jnp.mean(pnp.reprojection_error_sq(
+        Rr, tr, jnp.asarray(pts), jnp.asarray(p2))))
+    assert err_ref <= err_lin
+    assert np.abs(np.asarray(Rr) - R).max() < 1e-3
+
+
+def test_ransac_fundamental_with_outliers():
+    rng = np.random.default_rng(10)
+    pts, R, t, p1, p2 = make_scene(rng, 80, noise=1e-4)
+    # corrupt 30%
+    n_out = 24
+    p2c = p2.copy()
+    p2c[:n_out] += rng.uniform(0.05, 0.2, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    key = jax.random.PRNGKey(0)
+    res = robust.ransac_fundamental(key, jnp.asarray(p1), jnp.asarray(p2c),
+                                    num_hypotheses=256,
+                                    inlier_threshold_px=1e-3)
+    inl = np.asarray(res.inliers)
+    assert inl[n_out:].mean() > 0.95      # finds the good ones
+    assert inl[:n_out].mean() < 0.2       # rejects most outliers
+
+
+def test_ransac_pnp_with_outliers():
+    rng = np.random.default_rng(11)
+    pts, R, t, p1, p2 = make_scene(rng, 100, noise=1e-4)
+    n_out = 30
+    p2c = p2.copy()
+    p2c[:n_out] += rng.uniform(0.05, 0.2, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+    key = jax.random.PRNGKey(1)
+    res, (Rr, tr) = robust.ransac_pnp(key, jnp.asarray(pts), jnp.asarray(p2c),
+                                      num_hypotheses=256, inlier_threshold=1e-5)
+    assert np.abs(np.asarray(Rr) - R).max() < 1e-3
+    assert np.abs(np.asarray(tr) - t).max() < 1e-3
+    inl = np.asarray(res.inliers)
+    assert inl[n_out:].mean() > 0.95
+
+
+def test_ransac_homography():
+    rng = np.random.default_rng(12)
+    n = 60
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), np.full(n, 3.0)], 1)
+    w = rng.normal(0, 0.1, 3)
+    R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+    t = np.array([0.2, 0.1, -0.1])
+    p1 = pts[:, :2] / pts[:, 2:3]
+    pc2 = pts @ R.T + t
+    p2 = pc2[:, :2] / pc2[:, 2:3]
+    p2c = p2.copy()
+    p2c[:15] += 0.1
+    res = robust.ransac_homography(jax.random.PRNGKey(2), jnp.asarray(p1),
+                                   jnp.asarray(p2c), num_hypotheses=256,
+                                   inlier_threshold_px=1e-3)
+    inl = np.asarray(res.inliers)
+    assert inl[15:].mean() > 0.95 and inl[:15].mean() < 0.2
+
+
+def test_lmeds_fundamental():
+    rng = np.random.default_rng(13)
+    pts, R, t, p1, p2 = make_scene(rng, 60, noise=1e-5)
+    p2c = p2.copy()
+    p2c[:10] += 0.1
+    from boofcv_tpu.geo import epipolar as ep
+
+    def solver(sample):
+        s1, s2 = sample
+        return ep.fundamental_8pt(s1, s2)
+
+    def scorer(F, points):
+        q1, q2 = points
+        return ep.sampson_error(F, q1.astype(jnp.float64), q2.astype(jnp.float64))
+
+    res = robust.least_median_of_squares(
+        jax.random.PRNGKey(3), (jnp.asarray(p1), jnp.asarray(p2c)),
+        solver, scorer, sample_size=8, num_hypotheses=256)
+    inl = np.asarray(res.inliers)
+    assert inl[10:].mean() > 0.9
