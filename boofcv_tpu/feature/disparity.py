@@ -1,0 +1,334 @@
+"""Stereo disparity: block matching (dense + sparse) and SGM.
+
+Reference analog: boofcv-feature alg/feature/disparity/ —
+DisparityBlockMatchRowFormat.java:44 (row-format BM),
+block/select/* (WTA with left-right + texture validation),
+block/BlockRowScoreSad.java (SAD scores), DisparitySparseScoreSadRect.java
+(sparse per-pixel BM), sgm/* (SgmDisparityCost, SgmCostAggregation.java:77,
+SgmDisparitySelector).
+
+TPU design: the cost volume is a dense [D, H, W] tensor built from
+shifted-image differences + box-filter aggregation (pure VPU/conv work);
+WTA select, left-right check and subpixel interpolation are argmin /
+gather ops over the D axis.  SGM's four scanline recurrences become
+`lax.scan` over rows/columns with vectorized inner axes (wavefront form).
+Images are the *rectified* pair.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from boofcv_tpu.core.border import BorderType, pad
+from boofcv_tpu.ip import census as census_mod
+
+
+INVALID = -1.0
+
+
+class DisparityConfig(NamedTuple):
+    """ConfigDisparityBM analog."""
+    min_disparity: int = 0
+    max_disparity: int = 64       # exclusive of min: range = max - min
+    radius_x: int = 3
+    radius_y: int = 3
+    max_per_pixel_error: float = -1.0   # <0 disables
+    texture_threshold: float = 0.15      # <=0 disables
+    validate_lr: int = 1                 # max L-R mismatch; <0 disables
+    subpixel: bool = True
+    error: str = "sad"                   # sad | census
+
+
+def _shift_right_image(right: jnp.ndarray, d: int) -> jnp.ndarray:
+    """right image shifted so column x aligns with left x - d."""
+    h, w = right.shape
+    if d == 0:
+        return right
+    out = jnp.full_like(right, jnp.inf)
+    return out.at[:, d:].set(right[:, : w - d])
+
+
+def cost_volume(left: jnp.ndarray, right: jnp.ndarray,
+                cfg: DisparityConfig) -> jnp.ndarray:
+    """[D, H, W] aggregated matching cost.
+
+    cost[d, y, x] = sum over (2rx+1)x(2ry+1) window of per-pixel error
+    between left(y, x) and right(y, x - (min_disparity + d)).
+    """
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    if cfg.error == "census":
+        lc = census_mod.dense5x5(left).astype(jnp.uint32)
+        rc = census_mod.dense5x5(right).astype(jnp.uint32)
+
+        def per_pixel(d):
+            rs = _shift_census(rc, cfg.min_disparity + d)
+            return _hamming32(lc, rs).astype(jnp.float32)
+    else:
+        def per_pixel(d):
+            rs = _shift_right_image(right, cfg.min_disparity + d)
+            e = jnp.abs(left - rs)
+            return jnp.where(jnp.isfinite(e), e, 1e6)
+
+    n_disp = cfg.max_disparity - cfg.min_disparity
+    errs = jnp.stack([per_pixel(d) for d in range(n_disp)], axis=0)
+    # box aggregation over the window via separable cumulative sums
+    return _separable_box(errs, cfg.radius_y, cfg.radius_x)
+
+
+def _separable_box(vol: jnp.ndarray, ry: int, rx: int) -> jnp.ndarray:
+    """Box-sum filter each [H, W] slice of [D, H, W] (EXTENDED-free: zero
+    pad — windows at borders simply sum fewer valid terms, matching the
+    reference's border crop which we keep valid-masked instead)."""
+    v = jnp.pad(vol, ((0, 0), (ry, ry), (rx, rx)))
+    cs = jnp.cumsum(v, axis=1)
+    cs = jnp.pad(cs, ((0, 0), (1, 0), (0, 0)))
+    top = cs[:, : -2 * ry - 1, :]
+    bot = cs[:, 2 * ry + 1:, :]
+    v = bot - top
+    cs = jnp.cumsum(v, axis=2)
+    cs = jnp.pad(cs, ((0, 0), (0, 0), (1, 0)))
+    return cs[:, :, 2 * rx + 1:] - cs[:, :, : -2 * rx - 1]
+
+
+def _shift_census(c: jnp.ndarray, d: int) -> jnp.ndarray:
+    h, w = c.shape
+    if d == 0:
+        return c
+    out = jnp.zeros_like(c)
+    return out.at[:, d:].set(c[:, : w - d])
+
+
+def _hamming32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.bitwise_xor(a, b)
+    # popcount via bit tricks (uint32)
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _wta_select(cost: jnp.ndarray, cfg: DisparityConfig) -> jnp.ndarray:
+    """Winner-take-all + validations; returns float disparity image
+    ([H, W], INVALID where rejected).  Mirrors block/select/
+    SelectRectStandard semantics: texture check, left-right check,
+    subpixel quadratic interpolation."""
+    n_disp, h, w = cost.shape
+    best = jnp.argmin(cost, axis=0)                      # [H, W]
+    cbest = jnp.min(cost, axis=0)
+
+    disp = best.astype(jnp.float32)
+    valid = jnp.ones((h, w), bool)
+
+    # pixels whose disparity would reach off the left edge are invalid
+    xs = jnp.arange(w)[None, :]
+    valid &= xs >= (cfg.min_disparity + best)
+
+    # texture validation: second-best (excluding +-1 neighbors) must be
+    # sufficiently worse: (c2 - c1) / c1 > threshold
+    if cfg.texture_threshold > 0:
+        d_idx = jnp.arange(n_disp)[:, None, None]
+        near = jnp.abs(d_idx - best[None]) <= 1
+        masked = jnp.where(near, jnp.inf, cost)
+        c2 = jnp.min(masked, axis=0)
+        ok = (c2 - cbest) > cfg.texture_threshold * jnp.maximum(cbest, 1e-6)
+        valid &= ok | ~jnp.isfinite(c2)
+
+    if cfg.max_per_pixel_error > 0:
+        area = (2 * cfg.radius_x + 1) * (2 * cfg.radius_y + 1)
+        valid &= cbest <= cfg.max_per_pixel_error * area
+
+    # left-right consistency: compute right-image disparity by re-indexing
+    # the same volume: costR[d, y, x] = cost[d, y, x + min + d]
+    if cfg.validate_lr >= 0:
+        d_idx = jnp.arange(n_disp)[:, None, None]
+        xr = xs[None] + cfg.min_disparity + d_idx        # broadcasts to [D, 1, W]
+        xr = jnp.clip(xr, 0, w - 1)
+        costR = jnp.take_along_axis(
+            cost, jnp.broadcast_to(xr, (n_disp, h, w)), axis=2)
+        bestR = jnp.argmin(costR, axis=0)                # [H, W]
+        # check: bestR evaluated at x - (min+best) should equal best
+        xl = jnp.clip(xs - cfg.min_disparity - best, 0, w - 1)
+        lr = jnp.take_along_axis(bestR, xl, axis=1)
+        valid &= jnp.abs(lr - best) <= cfg.validate_lr
+
+    if cfg.subpixel:
+        dm = jnp.clip(best - 1, 0, n_disp - 1)
+        dp = jnp.clip(best + 1, 0, n_disp - 1)
+        cm = jnp.take_along_axis(cost, dm[None], axis=0)[0]
+        cp = jnp.take_along_axis(cost, dp[None], axis=0)[0]
+        denom = cm - 2.0 * cbest + cp
+        off = jnp.where(denom > 1e-9, 0.5 * (cm - cp) / denom, 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        interior = (best > 0) & (best < n_disp - 1)
+        disp = disp + jnp.where(interior, off, 0.0)
+
+    return jnp.where(valid, disp, INVALID)
+
+
+def block_match(left: jnp.ndarray, right: jnp.ndarray,
+                cfg: DisparityConfig = DisparityConfig()) -> jnp.ndarray:
+    """Dense BM disparity (DisparityBlockMatchRowFormat.process:95 analog).
+
+    Returns [H, W] float disparities *relative to min_disparity=0 pixel
+    units* (add nothing: value = true disparity in pixels), INVALID where
+    rejected.
+    """
+    cost = cost_volume(left, right, cfg)
+    disp = _wta_select(cost, cfg)
+    return jnp.where(disp >= 0, disp + cfg.min_disparity, disp)
+
+
+def sparse_block_match(left: jnp.ndarray, right: jnp.ndarray,
+                       ys, xs, cfg: DisparityConfig = DisparityConfig()):
+    """Sparse per-pixel BM at N locations (DisparitySparseScoreSadRect).
+
+    ys, xs: [N] int coords in the left image.  Returns (disp [N] float,
+    valid [N] bool).  Gathers the [N, D] cost rows directly — no dense
+    volume materialized; ideal for VO track depths.
+    """
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    h, w = left.shape
+    rx, ry = cfg.radius_x, cfg.radius_y
+    n_disp = cfg.max_disparity - cfg.min_disparity
+
+    dy = jnp.arange(-ry, ry + 1)
+    dx = jnp.arange(-rx, rx + 1)
+    yy = jnp.clip(ys[:, None, None] + dy[None, :, None], 0, h - 1)
+    xx = jnp.clip(xs[:, None, None] + dx[None, None, :], 0, w - 1)
+    patch_l = left[yy, xx]                               # [N, P, P]
+
+    def score(d):
+        xr = xx - (cfg.min_disparity + d)
+        inb = (xr >= 0) & (xr < w)
+        pr = right[yy, jnp.clip(xr, 0, w - 1)]
+        e = jnp.where(inb, jnp.abs(patch_l - pr), 1e6)
+        return jnp.sum(e, axis=(1, 2))                   # [N]
+
+    costs = jnp.stack([score(d) for d in range(n_disp)], axis=1)  # [N, D]
+    best = jnp.argmin(costs, axis=1)
+    cbest = jnp.min(costs, axis=1)
+    valid = xs - (cfg.min_disparity + best) >= 0
+    if cfg.max_per_pixel_error > 0:
+        area = (2 * rx + 1) * (2 * ry + 1)
+        valid &= cbest <= cfg.max_per_pixel_error * area
+    if cfg.texture_threshold > 0:
+        d_idx = jnp.arange(n_disp)[None, :]
+        near = jnp.abs(d_idx - best[:, None]) <= 1
+        c2 = jnp.min(jnp.where(near, jnp.inf, costs), axis=1)
+        valid &= ((c2 - cbest) > cfg.texture_threshold * jnp.maximum(cbest, 1e-6)) | ~jnp.isfinite(c2)
+
+    disp = best.astype(jnp.float32)
+    if cfg.subpixel:
+        dm = jnp.clip(best - 1, 0, n_disp - 1)
+        dp = jnp.clip(best + 1, 0, n_disp - 1)
+        cm = jnp.take_along_axis(costs, dm[:, None], axis=1)[:, 0]
+        cp = jnp.take_along_axis(costs, dp[:, None], axis=1)[:, 0]
+        denom = cm - 2.0 * cbest + cp
+        off = jnp.where(denom > 1e-9, 0.5 * (cm - cp) / denom, 0.0)
+        interior = (best > 0) & (best < n_disp - 1)
+        disp += jnp.where(interior, jnp.clip(off, -0.5, 0.5), 0.0)
+    return disp + cfg.min_disparity, valid
+
+
+# ---------------------------------------------------------------------------
+# Semi-global matching
+# ---------------------------------------------------------------------------
+
+class SgmConfig(NamedTuple):
+    """ConfigDisparitySGM analog."""
+    min_disparity: int = 0
+    max_disparity: int = 64
+    penalty_small: float = 5.0     # P1: |dd|=1 transitions
+    penalty_large: float = 60.0    # P2: larger jumps
+    paths: int = 4                 # 4 (axis-aligned) or 8 (+diagonals)
+    error: str = "census"          # census | sad
+    validate_lr: int = 1
+    subpixel: bool = True
+    texture_threshold: float = 0.0
+
+
+def _sgm_scan(cost: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """Aggregate along axis 2 (left->right) with the SGM recurrence.
+
+    cost: [D, H, W].  Returns aggregated [D, H, W].  Other directions are
+    obtained by flipping/transposing before the call — each direction is a
+    lax.scan over the scanline axis with [D, H] vectorized state
+    (SgmCostAggregation.java:174's scanline hot loop in wavefront form).
+    """
+    D = cost.shape[0]
+    big = jnp.float32(1e9)
+
+    def step(prev, c):
+        # prev, c: [D, H]
+        m = jnp.min(prev, axis=0)                          # [H]
+        up = jnp.concatenate([jnp.full_like(prev[:1], big), prev[:-1]], axis=0)
+        dn = jnp.concatenate([prev[1:], jnp.full_like(prev[:1], big)], axis=0)
+        best = jnp.minimum(jnp.minimum(prev, up + p1),
+                           jnp.minimum(dn + p1, m[None] + p2))
+        out = c + best - m[None]
+        return out, out
+
+    c0 = cost[:, :, 0]
+    _, agg = lax.scan(step, c0, jnp.moveaxis(cost[:, :, 1:], 2, 0))
+    agg = jnp.moveaxis(agg, 0, 2)                          # [D, H, W-1]
+    return jnp.concatenate([c0[:, :, None], agg], axis=2)
+
+
+def sgm(left: jnp.ndarray, right: jnp.ndarray,
+        cfg: SgmConfig = SgmConfig()) -> jnp.ndarray:
+    """Semi-global matching disparity (SgmStereoDisparity.java:28 analog).
+
+    Census (or SAD) per-pixel cost, 4- or 8-path aggregation, WTA with
+    left-right check and subpixel interpolation.  Returns [H, W] float
+    disparities, INVALID where rejected.
+    """
+    bm_cfg = DisparityConfig(
+        min_disparity=cfg.min_disparity, max_disparity=cfg.max_disparity,
+        radius_x=0, radius_y=0, error=cfg.error,
+        texture_threshold=cfg.texture_threshold,
+        validate_lr=cfg.validate_lr, subpixel=cfg.subpixel)
+    # per-pixel (unaggregated window) cost
+    cost = cost_volume(left, right, bm_cfg._replace(radius_x=0, radius_y=0))
+    cost = jnp.minimum(cost, 1e5)  # clamp out-of-bounds sentinel
+
+    p1, p2 = cfg.penalty_small, cfg.penalty_large
+    agg = _sgm_scan(cost, p1, p2)                                  # L->R
+    agg = agg + jnp.flip(_sgm_scan(jnp.flip(cost, 2), p1, p2), 2)  # R->L
+    ct = jnp.swapaxes(cost, 1, 2)
+    agg = agg + jnp.swapaxes(_sgm_scan(ct, p1, p2), 1, 2)          # T->B
+    agg = agg + jnp.swapaxes(
+        jnp.flip(_sgm_scan(jnp.flip(ct, 2), p1, p2), 2), 1, 2)     # B->T
+    if cfg.paths >= 8:
+        # diagonals via row-shifted shear: shift row y by y columns so the
+        # diagonal becomes a column scan
+        d_, h, w = cost.shape
+
+        def shear(vol, sign):
+            rows = jnp.arange(h)
+            shift = (sign * rows) % (w + h)
+            padded = jnp.pad(vol, ((0, 0), (0, 0), (0, h)))
+            idx = (jnp.arange(w + h)[None, :] - shift[:, None]) % (w + h)
+            return jnp.take_along_axis(padded, idx[None].repeat(d_, 0), axis=2)
+
+        def unshear(vol, sign):
+            rows = jnp.arange(h)
+            shift = (sign * rows) % (w + h)
+            idx = (jnp.arange(w + h)[None, :] + shift[:, None]) % (w + h)
+            return jnp.take_along_axis(vol, idx[None].repeat(d_, 0), axis=2)[:, :, :w]
+
+        for sign in (1, -1):
+            sh = shear(cost, sign)
+            a = jnp.swapaxes(_sgm_scan(jnp.swapaxes(sh, 1, 2), p1, p2), 1, 2)
+            agg = agg + unshear(a, sign)
+            a = jnp.swapaxes(
+                jnp.flip(_sgm_scan(jnp.flip(jnp.swapaxes(sh, 1, 2), 2), p1, p2), 2), 1, 2)
+            agg = agg + unshear(a, sign)
+
+    disp = _wta_select(agg, bm_cfg)
+    return jnp.where(disp >= 0, disp + cfg.min_disparity, disp)
