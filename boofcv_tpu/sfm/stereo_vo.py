@@ -1,0 +1,268 @@
+"""Stereo visual odometry: KLT tracking + sparse stereo depth + RANSAC P3P.
+
+Reference analog: boofcv-sfm alg/sfm/d3/VisOdomPixelDepthPnP.java:56,154
+(tracker.process -> estimateMotion [RANSAC P3P + refine, :261] -> drop
+unused -> addNewTracks [spawn + sparse stereo 3D, :224]) wrapped by
+WrapVisOdomPixelDepthPnP.java:99 (rectification first), assembled by
+FactoryVisualOdometry.stereoDepth (FactoryVisualOdometry.java:186-222).
+
+TPU design (SURVEY §7 stage 4 + §3.1 boundary plan): ALL per-frame math is
+one jitted step over a fixed-capacity track pool:
+  * track state lives on device (positions, world points, alive mask);
+  * KLT advances every slot in parallel (batched pyramidal GN);
+  * motion is hypothesis-parallel RANSAC over P3P + a GN refine;
+  * dropped/spawned tracks are mask updates + top-k detection compaction;
+  * the host sees only the scalar pose per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from boofcv_tpu.core.pyramid import PyramidConfig
+from boofcv_tpu.feature import extract, intensity, klt
+from boofcv_tpu.feature import disparity as disp_mod
+from boofcv_tpu.geo import robust, se3
+from boofcv_tpu.ip import pyramid_ops
+
+
+@dataclass(frozen=True)
+class StereoVoConfig:
+    """FactoryVisualOdometry.stereoDepth config analog (the reference
+    example workload: 600 features, pyramid {1,2,4,8}, r=3 templates,
+    disparity 0-150, RANSAC 200 iters — ExampleVisualOdometryStereo:66)."""
+    num_tracks: int = 512
+    pyramid_scales: tuple = (1, 2, 4, 8)
+    template_radius: int = 3
+    detect_radius: int = 5
+    detect_threshold: float = 1.0
+    min_disparity: int = 0
+    max_disparity: int = 96
+    disparity_radius: int = 3
+    ransac_hypotheses: int = 256
+    inlier_threshold_px: float = 1.5
+    refine_iterations: int = 10
+    respawn_below: float = 0.6     # respawn when alive fraction drops below
+    klt: klt.KltConfig = klt.KltConfig()
+
+
+class StereoVoState(NamedTuple):
+    """Fixed-capacity device-resident VO state."""
+    xs: jnp.ndarray          # [N] f32 track x (rectified-left pixels)
+    ys: jnp.ndarray          # [N]
+    world: jnp.ndarray       # [N, 3] f64 points in world frame
+    alive: jnp.ndarray       # [N] bool
+    templates: klt.KltTemplates
+    R: jnp.ndarray           # [3, 3] f64 world->camera
+    t: jnp.ndarray           # [3]
+    key: jnp.ndarray         # PRNG state for RANSAC
+
+
+def init_state(cfg: StereoVoConfig, height: int, width: int,
+               seed: int = 0) -> StereoVoState:
+    n = cfg.num_tracks
+    p = 2 * cfg.template_radius + 1
+    levels = len(cfg.pyramid_scales)
+    zero_t = tuple(jnp.zeros((n, p, p), jnp.float32) for _ in range(levels))
+    return StereoVoState(
+        xs=jnp.zeros((n,), jnp.float32), ys=jnp.zeros((n,), jnp.float32),
+        world=jnp.zeros((n, 3), jnp.float64),
+        alive=jnp.zeros((n,), bool),
+        templates=klt.KltTemplates(zero_t, zero_t, zero_t),
+        R=jnp.eye(3, dtype=jnp.float64), t=jnp.zeros((3,), jnp.float64),
+        key=jax.random.PRNGKey(seed))
+
+
+def _detect_candidates(image, cfg: StereoVoConfig, n_cand: int):
+    inten = intensity.shi_tomasi(image, radius=2)
+    det = extract.detect(inten, max_features=n_cand,
+                         radius=cfg.detect_radius,
+                         threshold=cfg.detect_threshold,
+                         border=cfg.template_radius * cfg.pyramid_scales[-1] + 2)
+    return det
+
+
+def _spawn(state: StereoVoState, pyramid, grads, left, right,
+           rectK, baseline, cfg: StereoVoConfig):
+    """Fill dead slots with fresh detections + stereo depth.
+
+    addNewTracks analog (VisOdomPixelDepthPnP.java:224): detect, reject
+    candidates near live tracks, compute sparse stereo disparity, lift to
+    3D in the *world* frame through the current pose.
+    """
+    n = cfg.num_tracks
+    det = _detect_candidates(left, cfg, n)
+    cand_y = det.ys.astype(jnp.float32)
+    cand_x = det.xs.astype(jnp.float32)
+    cand_ok = det.valid
+
+    # minimum-distance constraint against live tracks
+    d2 = ((cand_x[:, None] - state.xs[None, :]) ** 2
+          + (cand_y[:, None] - state.ys[None, :]) ** 2)
+    d2 = jnp.where(state.alive[None, :], d2, jnp.inf)
+    min_r = (2 * cfg.detect_radius) ** 2
+    cand_ok &= jnp.min(d2, axis=1) > min_r
+
+    # stereo depth at candidates
+    dcfg = disp_mod.DisparityConfig(
+        min_disparity=cfg.min_disparity, max_disparity=cfg.max_disparity,
+        radius_x=cfg.disparity_radius, radius_y=cfg.disparity_radius,
+        texture_threshold=0.1)
+    disp, dvalid = disp_mod.sparse_block_match(
+        left, right, cand_y.astype(jnp.int32), cand_x.astype(jnp.int32), dcfg)
+    cand_ok &= dvalid & (disp > 0.5)
+
+    # lift: pixel+disp -> camera frame -> world frame
+    from boofcv_tpu.geo.rectify import pixel_to_3d_rectified
+    Xc = pixel_to_3d_rectified(cand_x.astype(jnp.float64),
+                               cand_y.astype(jnp.float64),
+                               disp.astype(jnp.float64), rectK, baseline)
+    Rinv, tinv = se3.invert(state.R, state.t)
+    Xw = Xc @ Rinv.T + tinv
+
+    # compact candidates into dead slots: rank-matching via scatter
+    dead = ~state.alive
+    slot_rank = jnp.cumsum(dead) * dead          # [N] 1-based rank for dead slots
+    cand_rank = jnp.cumsum(cand_ok) * cand_ok    # [N] 1-based rank for good candidates
+    # map rank -> candidate index
+    by_rank = jnp.zeros((n + 1,), jnp.int32).at[cand_rank].set(
+        jnp.arange(n, dtype=jnp.int32))
+    n_cand = jnp.max(cand_rank)
+    take = dead & (slot_rank <= n_cand) & (slot_rank > 0)
+    src = by_rank[jnp.clip(slot_rank, 0, n)]
+
+    new_xs = jnp.where(take, cand_x[src], state.xs)
+    new_ys = jnp.where(take, cand_y[src], state.ys)
+    new_world = jnp.where(take[:, None], Xw[src], state.world)
+    new_alive = state.alive | take
+
+    # resample templates for every slot at its (possibly new) position
+    tmpl = klt.sample_templates(pyramid, grads, new_ys, new_xs,
+                                cfg.pyramid_scales, cfg.template_radius)
+    return state._replace(xs=new_xs, ys=new_ys, world=new_world,
+                          alive=new_alive, templates=tmpl)
+
+
+def make_step(cfg: StereoVoConfig, rectK, baseline: float):
+    """Build the jitted per-frame VO step.
+
+    Returns step(state, left, right) -> (state, metrics) where the images
+    are the *rectified* pair (apply geo.rectify maps upstream when the raw
+    cameras are not already rectified).
+    """
+    fx = float(rectK[0, 0])
+    fy = float(rectK[1, 1])
+    cx = float(rectK[0, 2])
+    cy = float(rectK[1, 2])
+    norm_thresh = (cfg.inlier_threshold_px / fx) ** 2
+    pyr_cfg = PyramidConfig(scales=cfg.pyramid_scales)
+
+    @jax.jit
+    def step(state: StereoVoState, left, right):
+        left = left.astype(jnp.float32)
+        pyramid = pyramid_ops.pyramid_average(left, pyr_cfg)
+        grads = pyramid_ops.gradient(pyramid)
+
+        # 1. track (PointTrackerKltPyramid.process:230)
+        nys, nxs, fault = klt.track_pyramid(
+            pyramid, state.templates, state.ys, state.xs,
+            cfg.pyramid_scales, cfg.klt)
+        tracked = state.alive & (fault == klt.TRACK_OK)
+        xs = jnp.where(tracked, nxs, state.xs)
+        ys = jnp.where(tracked, nys, state.ys)
+
+        # 2. motion (estimateMotion:261): RANSAC P3P on tracked points
+        obs = jnp.stack([(xs - cx) / fx, (ys - cy) / fy], axis=-1)
+        key, sub = jax.random.split(state.key)
+        res, (Rn, tn) = robust.ransac_pnp(
+            sub, state.world, obs.astype(jnp.float64),
+            num_hypotheses=cfg.ransac_hypotheses,
+            inlier_threshold=norm_thresh, valid_mask=tracked,
+            refine_iterations=cfg.refine_iterations)
+
+        # guard: if too few inliers, keep previous pose (process() false)
+        ok = res.num_inliers >= 6
+        Rn = jnp.where(ok, Rn, state.R)
+        tn = jnp.where(ok, tn, state.t)
+
+        # 3. drop outlier tracks (dropUnusedTracks:205)
+        alive = tracked & res.inliers
+
+        new_state = state._replace(xs=xs, ys=ys, alive=alive, R=Rn, t=tn,
+                                   key=key)
+
+        # 4. spawn into dead slots when the pool runs low (addNewTracks)
+        frac = jnp.mean(alive.astype(jnp.float32))
+
+        def do_spawn(s):
+            return _spawn(s, pyramid, grads, left, right, rectK, baseline, cfg)
+
+        def no_spawn(s):
+            # still refresh templates at current positions (frame-to-frame KLT)
+            tmpl = klt.sample_templates(pyramid, grads, s.ys, s.xs,
+                                        cfg.pyramid_scales,
+                                        cfg.template_radius)
+            return s._replace(templates=tmpl)
+
+        new_state = jax.lax.cond(frac < cfg.respawn_below, do_spawn,
+                                 no_spawn, new_state)
+
+        metrics = {
+            "tracked": jnp.sum(tracked), "inliers": res.num_inliers,
+            "alive": jnp.sum(new_state.alive), "pose_ok": ok,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def bootstrap(state: StereoVoState, left, right, rectK, baseline,
+              cfg: StereoVoConfig):
+    """Initialize the track pool from the first frame pair."""
+    left = jnp.asarray(left, jnp.float32)
+    pyr_cfg = PyramidConfig(scales=cfg.pyramid_scales)
+    pyramid = pyramid_ops.pyramid_average(left, pyr_cfg)
+    grads = pyramid_ops.gradient(pyramid)
+    return _spawn(state, pyramid, grads, left, jnp.asarray(right, jnp.float32),
+                  rectK, baseline, cfg)
+
+
+class StereoVisualOdometry:
+    """Host-facing driver (abst StereoVisualOdometry analog): owns device
+    state, exposes process(left, right) -> bool and get_pose()."""
+
+    def __init__(self, cfg: StereoVoConfig, rectK, baseline: float,
+                 height: int, width: int, seed: int = 0):
+        self.cfg = cfg
+        self.rectK = jnp.asarray(rectK, jnp.float64)
+        self.baseline = float(baseline)
+        self._step = make_step(cfg, np.asarray(rectK), baseline)
+        self.state = init_state(cfg, height, width, seed)
+        self._first = True
+        self.metrics = {}
+
+    def reset(self, seed: int = 0):
+        h = w = 0
+        self.state = init_state(self.cfg, h, w, seed)
+        self._first = True
+
+    def process(self, left, right) -> bool:
+        if self._first:
+            self.state = bootstrap(self.state, left, right, self.rectK,
+                                   self.baseline, self.cfg)
+            self._first = False
+            return True
+        self.state, m = self._step(self.state, jnp.asarray(left),
+                                   jnp.asarray(right))
+        self.metrics = {k: int(v) if v.ndim == 0 else v for k, v in m.items()}
+        return bool(m["pose_ok"])
+
+    def camera_to_world(self):
+        """Current camera->world SE3 (i.e. camera position/orientation)."""
+        R, t = se3.invert(self.state.R, self.state.t)
+        return np.asarray(R), np.asarray(t)

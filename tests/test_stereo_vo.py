@@ -1,0 +1,77 @@
+"""Simulated end-to-end stereo VO test (SURVEY §4.5: the reference's
+CheckVisualOdometryStereoSim drives a camera forward over a synthetic
+scene and asserts the recovered pose within tolerance)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from boofcv_tpu.geo import se3
+from boofcv_tpu.io import simulate
+from boofcv_tpu.sfm import stereo_vo
+
+
+H, W = 120, 160
+K = np.array([[150.0, 0.0, W / 2], [0.0, 150.0, H / 2], [0.0, 0.0, 1.0]])
+BASELINE = 0.3
+
+
+def make_forward_trajectory(n_frames=8, step=0.06, yaw_rate=0.004):
+    """world->camera poses for a camera creeping forward with gentle yaw."""
+    poses = []
+    for i in range(n_frames):
+        yaw = yaw_rate * i
+        Rcw = np.asarray(se3.exp_so3(jnp.asarray([0.0, yaw, 0.0])))
+        c = np.array([0.015 * i, 0.0, step * i])  # camera center in world
+        R = Rcw.T
+        t = -R @ c
+        poses.append((jnp.asarray(R), jnp.asarray(t)))
+    return poses
+
+
+@pytest.fixture(scope="module")
+def vo_run():
+    rng = np.random.default_rng(0)
+    poses = make_forward_trajectory()
+    frames = simulate.render_stereo_sequence(rng, K, BASELINE, poses, H, W)
+    cfg = stereo_vo.StereoVoConfig(
+        num_tracks=256, pyramid_scales=(1, 2, 4), max_disparity=48,
+        ransac_hypotheses=192, detect_radius=4)
+    vo = stereo_vo.StereoVisualOdometry(cfg, K, BASELINE, H, W)
+    traj = []
+    oks = []
+    for left, right in frames:
+        oks.append(vo.process(left, right))
+        R, c = vo.camera_to_world()
+        traj.append((R, c))
+    return poses, traj, oks, vo
+
+
+def test_vo_processes_all_frames(vo_run):
+    _, _, oks, vo = vo_run
+    assert all(oks)
+    assert vo.metrics["inliers"] > 30
+
+
+def test_vo_recovers_trajectory(vo_run):
+    poses, traj, _, _ = vo_run
+    # ground-truth camera centers
+    errs = []
+    for (Rgt, tgt), (Rest, cest) in zip(poses, traj):
+        c_gt = -np.asarray(Rgt).T @ np.asarray(tgt)
+        errs.append(np.linalg.norm(cest - c_gt))
+    total_motion = np.linalg.norm(
+        -np.asarray(poses[-1][0]).T @ np.asarray(poses[-1][1]))
+    ate = float(np.mean(errs))
+    # reference tolerance style: translation error below a fraction of motion
+    assert ate < 0.15 * max(total_motion, 0.1), (ate, errs)
+
+
+def test_vo_rotation_error_small(vo_run):
+    poses, traj, _, _ = vo_run
+    Rgt = np.asarray(poses[-1][0])
+    Rest = traj[-1][0]
+    # camera_to_world returns R s.t. columns are camera axes in world
+    dR = Rest.T @ Rgt.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 2.0, ang
