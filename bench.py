@@ -1,0 +1,80 @@
+"""Benchmark: stereo visual odometry throughput (frames/s/chip).
+
+The reference workload is BoofCV's stereo-VO example configuration
+(examples/sfm/ExampleVisualOdometryStereo.java:66-81 — ~600 features,
+4-level pyramid, r=3 templates, wide disparity search, RANSAC 200+):
+the per-frame step here runs pyramids + batched pyramidal KLT + sparse
+stereo BM + hypothesis-parallel RANSAC-P3P + refine as one jitted program.
+
+BoofCV publishes no numbers (BASELINE.md); ``vs_baseline`` is measured
+fps over a nominal 30 fps BoofCV-on-CPU real-time figure (its README's
+real-time claim at 640x480), so vs_baseline > 10 meets the north-star
+">10x BoofCV-on-CPU frames/s per chip".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from boofcv_tpu.sfm import stereo_vo
+    from boofcv_tpu.io import simulate
+    from boofcv_tpu.geo import se3
+
+    H, W = 480, 640
+    K = np.array([[480.0, 0.0, W / 2], [0.0, 480.0, H / 2], [0.0, 0.0, 1.0]])
+    baseline = 0.4
+
+    cfg = stereo_vo.StereoVoConfig(
+        num_tracks=512, pyramid_scales=(1, 2, 4, 8), template_radius=3,
+        max_disparity=96, ransac_hypotheses=256, refine_iterations=10)
+    step = stereo_vo.make_step(cfg, K, baseline)
+
+    # synthetic sequence (rendered once, on host, excluded from timing)
+    rng = np.random.default_rng(0)
+    n_frames = 12
+    poses = []
+    for i in range(n_frames):
+        R = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002 * i, 0.0])))
+        c = np.array([0.01 * i, 0.0, 0.05 * i])
+        poses.append((jnp.asarray(R), jnp.asarray(-R @ c)))
+    frames = simulate.render_stereo_sequence(
+        rng, K, baseline, poses, H, W, plane_origin=(0.0, 0.0, 8.0),
+        texture_scale=55.0)
+    frames = [(np.asarray(l), np.asarray(r)) for l, r in frames]
+
+    state = stereo_vo.init_state(cfg, H, W)
+    state = stereo_vo.bootstrap(state, frames[0][0], frames[0][1],
+                                jnp.asarray(K), baseline, cfg)
+
+    # warmup (compile)
+    warm_state, m = step(state, jnp.asarray(frames[1][0]), jnp.asarray(frames[1][1]))
+    jax.block_until_ready(m)
+
+    # timed loop: cycle through rendered frames
+    reps = 30
+    t0 = time.perf_counter()
+    s = state
+    for i in range(reps):
+        l, r = frames[1 + i % (n_frames - 1)]
+        s, m = step(s, jnp.asarray(l), jnp.asarray(r))
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    fps = reps / dt
+
+    print(json.dumps({
+        "metric": "stereo_vo_frames_per_s_per_chip_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
