@@ -1,0 +1,242 @@
+"""Zhang 1999 planar camera calibration.
+
+Reference analog: boofcv-calibration alg/geo/calibration/
+CalibrationPlanarGridZhang99.java:67,122 — per-view homographies
+(Zhang99ComputeTargetHomography), linear K (Zhang99CalibrationMatrix-
+FromHomographies), extrinsics (Zhang99DecomposeHomography), linear radial
+init (RadialDistortionEstimateLinear), then a full nonlinear refine
+(ddogleg LM -> here: damped Gauss-Newton over all parameters at once,
+with jacobians by autodiff; every view's reprojection is batched).
+
+Stereo calibration (CalibrateStereoPlanar): calibrate each camera mono,
+then average the per-view relative poses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from boofcv_tpu.geo import epipolar, se3
+
+
+@dataclass
+class CalibrationResult:
+    K: np.ndarray                 # [3,3]
+    radial: tuple                 # (k1, k2)
+    rotations: np.ndarray         # [V,3,3] world(target)->camera
+    translations: np.ndarray      # [V,3]
+    reprojection_rmse: float
+
+
+def homographies_per_view(world_xy, obs):
+    """[V,3,3] target-plane->pixel homographies (batched DLT).
+
+    world_xy: [N, 2] planar target points; obs: [V, N, 2] pixels.
+    """
+    V = obs.shape[0]
+    w = jnp.broadcast_to(jnp.asarray(world_xy, jnp.float64)[None],
+                         (V,) + world_xy.shape)
+    return epipolar.homography_dlt(w, jnp.asarray(obs, jnp.float64))
+
+
+def k_from_homographies(Hs):
+    """Linear intrinsics from >=3 homographies (Zhang99CalibrationMatrix-
+    FromHomographies; zero-skew variant is the reference default)."""
+    Hs = np.asarray(Hs, np.float64)
+
+    def v_ij(H, i, j):
+        return np.array([
+            H[0, i] * H[0, j],
+            H[0, i] * H[1, j] + H[1, i] * H[0, j],
+            H[1, i] * H[1, j],
+            H[2, i] * H[0, j] + H[0, i] * H[2, j],
+            H[2, i] * H[1, j] + H[1, i] * H[2, j],
+            H[2, i] * H[2, j],
+        ])
+
+    rows = []
+    for H in Hs:
+        rows.append(v_ij(H, 0, 1))
+        rows.append(v_ij(H, 0, 0) - v_ij(H, 1, 1))
+    A = np.stack(rows)
+    _, _, Vt = np.linalg.svd(A)
+    b = Vt[-1]
+    B11, B12, B22, B13, B23, B33 = b
+    cy = (B12 * B13 - B11 * B23) / (B11 * B22 - B12 ** 2)
+    lam = B33 - (B13 ** 2 + cy * (B12 * B13 - B11 * B23)) / B11
+    fx = np.sqrt(abs(lam / B11))
+    fy = np.sqrt(abs(lam * B11 / (B11 * B22 - B12 ** 2)))
+    skew = -B12 * fx ** 2 * fy / lam
+    cx = skew * cy / fx - B13 * fx ** 2 / lam
+    return np.array([[fx, skew, cx], [0, fy, cy], [0, 0, 1.0]])
+
+
+def extrinsics_from_homography(H, K):
+    """(R, t) target->camera from H = K [r1 r2 t] (Zhang99Decompose-
+    Homography)."""
+    Kinv = np.linalg.inv(K)
+    A = Kinv @ np.asarray(H, np.float64)
+    s = 1.0 / np.linalg.norm(A[:, 0])
+    if A[2, 2] * s < 0:  # target must be in front
+        s = -s
+    r1 = A[:, 0] * s
+    r2 = A[:, 1] * s
+    r3 = np.cross(r1, r2)
+    t = A[:, 2] * s
+    R = np.stack([r1, r2, r3], axis=1)
+    R = np.asarray(se3.project_to_so3(jnp.asarray(R)))
+    return R, t
+
+
+def linear_radial_estimate(world_xy, obs, K, Rs, ts):
+    """Least-squares (k1, k2) from residuals vs the pinhole projection
+    (RadialDistortionEstimateLinear)."""
+    K = np.asarray(K)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    rows, rhs = [], []
+    w3 = np.concatenate([world_xy, np.zeros((world_xy.shape[0], 1))], 1)
+    for v in range(obs.shape[0]):
+        Xc = w3 @ Rs[v].T + ts[v]
+        xn = Xc[:, :2] / Xc[:, 2:]
+        r2 = np.sum(xn ** 2, axis=1)
+        u = fx * xn[:, 0] + cx
+        vv = fy * xn[:, 1] + cy
+        du = obs[v, :, 0] - u
+        dv = obs[v, :, 1] - vv
+        for i in range(world_xy.shape[0]):
+            rows.append([(u[i] - cx) * r2[i], (u[i] - cx) * r2[i] ** 2])
+            rhs.append(du[i])
+            rows.append([(vv[i] - cy) * r2[i], (vv[i] - cy) * r2[i] ** 2])
+            rhs.append(dv[i])
+    A = np.asarray(rows)
+    b = np.asarray(rhs)
+    k, *_ = np.linalg.lstsq(A, b, rcond=None)
+    return float(k[0]), float(k[1])
+
+
+def _project_all(params, world_xy, n_views):
+    """Full Brown-pinhole projection of every target point in every view.
+
+    params: [5 + 2 + 6V] = (fx, fy, skew, cx, cy, k1, k2, per-view xi).
+    Returns [V, N, 2].
+    """
+    fx, fy, skew, cx, cy, k1, k2 = params[:7]
+    w3 = jnp.concatenate(
+        [world_xy, jnp.zeros((world_xy.shape[0], 1), world_xy.dtype)], 1)
+
+    def one_view(xi):
+        R, t = se3.exp_se3(xi)
+        Xc = w3 @ R.T + t
+        xn = Xc[:, :2] / Xc[:, 2:]
+        r2 = jnp.sum(xn ** 2, axis=1, keepdims=True)
+        d = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = xn * d
+        u = fx * xd[:, 0] + skew * xd[:, 1] + cx
+        v = fy * xd[:, 1] + cy
+        return jnp.stack([u, v], axis=1)
+
+    xis = params[7:].reshape(n_views, 6)
+    return jax.vmap(one_view)(xis)
+
+
+def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
+                          zero_skew: bool = True) -> CalibrationResult:
+    """Full Zhang99 pipeline (CalibrateMonoPlanar.process:160).
+
+    world_xy: [N, 2] planar target coordinates; obs: [V, N, 2] detected
+    pixels per view (V >= 3).
+    """
+    world_xy = np.asarray(world_xy, np.float64)
+    obs = np.asarray(obs, np.float64)
+    V = obs.shape[0]
+
+    Hs = np.asarray(homographies_per_view(world_xy, obs))
+    K0 = k_from_homographies(Hs)
+    if zero_skew:
+        K0[0, 1] = 0.0
+    Rs, ts = [], []
+    for v in range(V):
+        R, t = extrinsics_from_homography(Hs[v], K0)
+        Rs.append(R)
+        ts.append(t)
+    Rs = np.stack(Rs)
+    ts = np.stack(ts)
+    k1, k2 = linear_radial_estimate(world_xy, obs, K0, Rs, ts)
+
+    # pack parameters and refine with damped GN
+    xi0 = []
+    for v in range(V):
+        # exp_se3(xi) ~ (R, t): log of rotation, and solve V(w) v = t — for
+        # initialization use (log R, t) which exp_se3 maps close enough,
+        # then GN absorbs the difference
+        w = np.asarray(se3.log_so3(jnp.asarray(Rs[v])))
+        xi0.append(np.concatenate([w, ts[v]]))
+    params0 = jnp.asarray(np.concatenate(
+        [[K0[0, 0], K0[1, 1], K0[0, 1], K0[0, 2], K0[1, 2], k1, k2],
+         np.concatenate(xi0)]))
+    wj = jnp.asarray(world_xy)
+    obsj = jnp.asarray(obs)
+
+    def residual(p):
+        proj = _project_all(p, wj, V)
+        return (proj - obsj).ravel()
+
+    def gn_step(carry, _):
+        p, lam = carry
+        r = residual(p)
+        J = jax.jacfwd(residual)(p)
+        H = J.T @ J
+        g = J.T @ r
+        n = H.shape[0]
+        step = -jnp.linalg.solve(H + lam * jnp.eye(n, dtype=H.dtype), g)
+        if zero_skew:
+            step = step.at[2].set(0.0)
+        p_new = p + step
+        c0 = jnp.sum(r * r)
+        c1 = jnp.sum(residual(p_new) ** 2)
+        good = jnp.isfinite(c1) & (c1 < c0)
+        p = jnp.where(good, p_new, p)
+        lam = jnp.clip(jnp.where(good, lam * 0.3, lam * 10.0), 1e-10, 1e6)
+        return (p, lam), jnp.where(good, c1, c0)
+
+    (p, _), _ = jax.lax.scan(gn_step, (params0, jnp.float64(1e-3)), None,
+                             length=iterations)
+    p = np.asarray(p)
+    fx, fy, skew, cx, cy, k1, k2 = p[:7]
+    K = np.array([[fx, skew, cx], [0, fy, cy], [0, 0, 1.0]])
+    Rs_out, ts_out = [], []
+    for v in range(V):
+        R, t = se3.exp_se3(jnp.asarray(p[7 + 6 * v: 13 + 6 * v]))
+        Rs_out.append(np.asarray(R))
+        ts_out.append(np.asarray(t))
+    proj = np.asarray(_project_all(jnp.asarray(p), wj, V))
+    rmse = float(np.sqrt(np.mean(np.sum((proj - obs) ** 2, axis=-1))))
+    return CalibrationResult(K, (float(k1), float(k2)),
+                             np.stack(Rs_out), np.stack(ts_out), rmse)
+
+
+def calibrate_stereo_planar(world_xy, obs_left, obs_right,
+                            iterations: int = 30):
+    """CalibrateStereoPlanar analog: mono-calibrate both cameras on the
+    same target views, then average the per-view left->right transforms.
+
+    Returns (left_result, right_result, R_l2r, t_l2r).
+    """
+    left = calibrate_mono_planar(world_xy, obs_left, iterations)
+    right = calibrate_mono_planar(world_xy, obs_right, iterations)
+    # per view: x_r = R_r X + t_r; X = R_l^T (x_l - t_l)
+    # => x_r = R_r R_l^T x_l + (t_r - R_r R_l^T t_l)
+    Rs, ts = [], []
+    for v in range(left.rotations.shape[0]):
+        Rrel = right.rotations[v] @ left.rotations[v].T
+        trel = right.translations[v] - Rrel @ left.translations[v]
+        Rs.append(Rrel)
+        ts.append(trel)
+    # average rotations via chordal mean (project the mean matrix to SO3)
+    Rmean = np.asarray(se3.project_to_so3(jnp.asarray(np.mean(Rs, axis=0))))
+    tmean = np.mean(ts, axis=0)
+    return left, right, Rmean, tmean
