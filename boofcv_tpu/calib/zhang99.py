@@ -192,7 +192,8 @@ def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
         H = J.T @ J
         g = J.T @ r
         n = H.shape[0]
-        step = -jnp.linalg.solve(H + lam * jnp.eye(n, dtype=H.dtype), g)
+        from boofcv_tpu.geo.smalllinalg import solve_spd
+        step = -solve_spd(H + lam * jnp.eye(n, dtype=H.dtype), g)
         if zero_skew:
             step = step.at[2].set(0.0)
         p_new = p + step

@@ -156,8 +156,9 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int):
     gp = -jnp.einsum("plki,plk->pi", Jp, r)                  # [P, 3]
     gv_obs = -jnp.einsum("plki,plk->pli", Jv, r)             # [P, L, D]
 
+    from boofcv_tpu.geo.smalllinalg import inv3
     eyeP = jnp.eye(3, dtype=Hpp.dtype)
-    Hpp_inv = jnp.linalg.inv(Hpp + (lam + 1e-12) * eyeP)
+    Hpp_inv = inv3(Hpp + (lam + 1e-12) * eyeP)
 
     Hvv_obs = jnp.einsum("plki,plkj->plij", Jv, Jv)          # [P, L, D, D]
     flat_view = obs_view.reshape(-1)
@@ -207,8 +208,12 @@ def _solve_reduced(S, gv_t, fixed_views, lam):
 
     Sd = S.transpose(0, 2, 1, 3).reshape(V * D, V * D)
     gd = gv_t.reshape(V * D)
-    L_chol, low = jax.scipy.linalg.cho_factor(Sd, lower=True)
-    dv = jax.scipy.linalg.cho_solve((L_chol, low), gd).reshape(V, D)
+    # TPU-supported f64 path: Cholesky + triangular solves (LU is not
+    # implemented on TPU; cholesky/eigh/svd are)
+    L_chol = jnp.linalg.cholesky(Sd)
+    y = jax.scipy.linalg.solve_triangular(L_chol, gd, lower=True)
+    dv = jax.scipy.linalg.solve_triangular(
+        L_chol.T, y, lower=False).reshape(V, D)
     return dv * free_vd
 
 

@@ -97,23 +97,10 @@ def fundamental_8pt(p1, p2, weights=None):
 
 
 def _cubic_roots(a3, a2, a1, a0):
-    """Real roots of a3 x^3 + a2 x^2 + a1 x + a0, batched.
-
-    Companion-matrix eigenvalues (general, robust); returns [..., 3]
-    complex eigenvalues and a real-root mask.
-    """
-    a3s = jnp.where(jnp.abs(a3) < 1e-30, 1e-30, a3)
-    b2, b1, b0 = a2 / a3s, a1 / a3s, a0 / a3s
-    z = jnp.zeros_like(b2)
-    o = jnp.ones_like(b2)
-    C = jnp.stack([
-        jnp.stack([z, z, -b0], axis=-1),
-        jnp.stack([o, z, -b1], axis=-1),
-        jnp.stack([z, o, -b2], axis=-1),
-    ], axis=-2)
-    ev = jnp.linalg.eigvals(C)  # complex [..., 3]
-    real = jnp.abs(ev.imag) < 1e-8 * (1.0 + jnp.abs(ev.real))
-    return ev.real, real
+    """Real cubic roots — closed-form Cardano (TPU has no eigvals/LU;
+    see smalllinalg).  Returns (roots [..., 3], real_mask [..., 3])."""
+    from boofcv_tpu.geo.smalllinalg import cubic_roots
+    return cubic_roots(a3, a2, a1, a0)
 
 
 def fundamental_7pt(p1, p2):
@@ -213,7 +200,8 @@ def homography_dlt(p1, p2):
     A = jnp.concatenate([r1, r2], axis=-2)
     h = _smallest_singular_vector(A)
     H = h.reshape(h.shape[:-1] + (3, 3))
-    H = jnp.linalg.inv(T2) @ H @ T1
+    from boofcv_tpu.geo.smalllinalg import inv3
+    H = inv3(T2) @ H @ T1
     scale = H[..., 2:3, 2:3]
     return H / jnp.where(jnp.abs(scale) < 1e-12, 1.0, scale)
 
@@ -234,7 +222,8 @@ def essential_from_fundamental(F, K1, K2):
 
 
 def fundamental_from_essential(E, K1, K2):
-    return jnp.linalg.inv(jnp.swapaxes(K2, -1, -2)) @ E @ jnp.linalg.inv(K1)
+    from boofcv_tpu.geo.smalllinalg import inv3
+    return inv3(jnp.swapaxes(K2, -1, -2)) @ E @ inv3(K1)
 
 
 def decompose_essential(E):

@@ -20,23 +20,10 @@ from boofcv_tpu.geo import se3
 
 
 def _quartic_roots(c4, c3, c2, c1, c0):
-    """Real roots of a quartic via 4x4 companion eigenvalues, batched.
-
-    Returns (roots [..., 4], real_mask [..., 4]).
-    """
-    c4s = jnp.where(jnp.abs(c4) < 1e-30, 1e-30, c4)
-    b3, b2, b1, b0 = c3 / c4s, c2 / c4s, c1 / c4s, c0 / c4s
-    z = jnp.zeros_like(b3)
-    o = jnp.ones_like(b3)
-    C = jnp.stack([
-        jnp.stack([z, z, z, -b0], axis=-1),
-        jnp.stack([o, z, z, -b1], axis=-1),
-        jnp.stack([z, o, z, -b2], axis=-1),
-        jnp.stack([z, z, o, -b3], axis=-1),
-    ], axis=-2)
-    ev = jnp.linalg.eigvals(C)
-    real = jnp.abs(ev.imag) < 1e-8 * (1.0 + jnp.abs(ev.real))
-    return ev.real, real
+    """Real quartic roots — closed-form Ferrari (TPU has no eigvals/LU;
+    see smalllinalg).  Returns (roots [..., 4], real_mask [..., 4])."""
+    from boofcv_tpu.geo.smalllinalg import quartic_roots
+    return quartic_roots(c4, c3, c2, c1, c0)
 
 
 def absolute_orientation(world, cam):
@@ -209,7 +196,8 @@ def refine_pnp(R, t, world, obs, iterations: int = 10, damping: float = 1e-8):
         r = residual(xi0, R0, t0)
         H = J.T @ J + damping * jnp.eye(6, dtype=jnp.float64)
         g = J.T @ r
-        dx = -jnp.linalg.solve(H, g)
+        from boofcv_tpu.geo.smalllinalg import solve_spd
+        dx = -solve_spd(H, g)
         dR, dt = se3.exp_se3(dx)
         Rn, tn = se3.compose(dR, dt, R0, t0)
         return Rn, tn

@@ -69,7 +69,8 @@ def rectify_calibrated(K1, K2, R, t) -> RectifiedPair:
 def rectify_maps(H, height: int, width: int):
     """Inverse warp maps for ip.distort.remap: for each output pixel, the
     source pixel H^-1 (x, y, 1) (RectifyImageOps.transformRectToPixel)."""
-    Hinv = jnp.linalg.inv(jnp.asarray(H, jnp.float64))
+    from boofcv_tpu.geo.smalllinalg import inv3
+    Hinv = inv3(jnp.asarray(H, jnp.float64))
     ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float64),
                           jnp.arange(width, dtype=jnp.float64), indexing="ij")
     ones = jnp.ones_like(xs)

@@ -257,7 +257,8 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
         J = jax.jacfwd(residual)(xi0, R0, t0)
         r = residual(xi0, R0, t0)
         H = J.T @ J + 1e-9 * jnp.eye(6, dtype=jnp.float64)
-        dx = -jnp.linalg.solve(H, J.T @ r)
+        from boofcv_tpu.geo.smalllinalg import solve_spd
+        dx = -solve_spd(H, J.T @ r)
         dR, dt = _se3.exp_se3(dx)
         return _se3.compose(dR, dt, R0, t0)
 

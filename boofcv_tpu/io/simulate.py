@@ -76,7 +76,8 @@ def render_plane(texture, K, R, t, height: int, width: int,
 
     ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float64),
                           jnp.arange(width, dtype=jnp.float64), indexing="ij")
-    Kinv = jnp.linalg.inv(K)
+    from boofcv_tpu.geo.smalllinalg import inv3
+    Kinv = inv3(K)
     rays_c = jnp.stack([xs, ys, jnp.ones_like(xs)], -1) @ Kinv.T  # cam dirs
     # world ray: origin c0 = -R^T t, dir = R^T ray
     Rt = R.T
