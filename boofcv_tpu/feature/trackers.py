@@ -1,0 +1,166 @@
+"""Object trackers: circulant (KCF-style), mean-shift likelihood, SFOT-lite.
+
+Reference analog: boofcv-recognition alg/tracker/ —
+circulant/CirculantTracker.java (dense FFT correlation tracker),
+meanshift/TrackerMeanShiftLikelihood.java (back-projection mean-shift),
+tld/TldTracker.java (covered separately later).
+
+TPU design: circulant is the natural first pick — training and detection
+are elementwise ops in the Fourier domain (jnp.fft on device); mean-shift
+is an iterated weighted-centroid reduction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from boofcv_tpu.ip.interpolate import bilinear
+
+
+class CirculantState(NamedTuple):
+    """CirculantTracker work state (alphaf/template in Fourier domain)."""
+    alphaf: jnp.ndarray     # [H, W] complex
+    template: jnp.ndarray   # [H, W] f32 (z in the paper)
+    cy: jnp.ndarray         # scalar center
+    cx: jnp.ndarray
+    size: int               # region size (square)
+
+
+def _hann2d(n: int) -> jnp.ndarray:
+    w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / (n - 1))
+    return w[:, None] * w[None, :]
+
+
+def _gauss_response(n: int, sigma_factor: float = 0.0625) -> jnp.ndarray:
+    sigma = jnp.sqrt(jnp.float32(n * n)) * sigma_factor
+    c = (n - 1) / 2.0
+    y = jnp.arange(n) - c
+    d2 = y[:, None] ** 2 + y[None, :] ** 2
+    g = jnp.exp(-0.5 * d2 / (sigma ** 2))
+    # shift peak to (0,0) as the closed-form training target expects
+    return jnp.roll(jnp.roll(g, -int(c), 0), -int(c), 1)
+
+
+def _get_window(image, cy, cx, n):
+    d = jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
+    yy = cy + d[:, None]
+    xx = cx + d[None, :]
+    win = bilinear(image.astype(jnp.float32), yy, xx)
+    win = win / 255.0 - 0.5
+    return win * _hann2d(n)
+
+
+def _gaussian_kernel_correlation(x, y, sigma: float = 0.2):
+    """k = exp(-|x-y|^2 / sigma^2 n) evaluated densely via FFT
+    (CirculantTracker.dense_gauss_kernel)."""
+    n = x.shape[0] * x.shape[1]
+    xf = jnp.fft.fft2(x)
+    yf = jnp.fft.fft2(y)
+    xyf = xf * jnp.conj(yf)
+    xy = jnp.real(jnp.fft.ifft2(xyf))
+    xx = jnp.sum(x * x)
+    yy = jnp.sum(y * y)
+    d2 = jnp.maximum(xx + yy - 2.0 * xy, 0.0) / n
+    return jnp.exp(-d2 / (sigma ** 2))
+
+
+def circulant_init(image, cy: float, cx: float, size: int = 64,
+                   lambda_: float = 1e-4) -> CirculantState:
+    """Initialize on the first frame (CirculantTracker.initialize)."""
+    z = _get_window(jnp.asarray(image), jnp.float32(cy), jnp.float32(cx), size)
+    k = _gaussian_kernel_correlation(z, z)
+    yf = jnp.fft.fft2(_gauss_response(size))
+    alphaf = yf / (jnp.fft.fft2(k) + lambda_)
+    return CirculantState(alphaf, z, jnp.float32(cy), jnp.float32(cx), size)
+
+
+def circulant_track(state: CirculantState, image,
+                    interp_factor: float = 0.075,
+                    lambda_: float = 1e-4) -> CirculantState:
+    """One frame: detect peak, move center, update model
+    (CirculantTracker.performTracking)."""
+    n = state.size
+    x = _get_window(jnp.asarray(image), state.cy, state.cx, n)
+    k = _gaussian_kernel_correlation(x, state.template)
+    resp = jnp.real(jnp.fft.ifft2(state.alphaf * jnp.fft.fft2(k)))
+    idx = jnp.argmax(resp)
+    py = idx // n
+    px = idx % n
+    # responses are circular: displacement in [-n/2, n/2)
+    dy = jnp.where(py > n // 2, py - n, py).astype(jnp.float32)
+    dx = jnp.where(px > n // 2, px - n, px).astype(jnp.float32)
+    cy = state.cy + dy
+    cx = state.cx + dx
+    # retrain at the new location, blend
+    z = _get_window(jnp.asarray(image), cy, cx, n)
+    k2 = _gaussian_kernel_correlation(z, z)
+    yf = jnp.fft.fft2(_gauss_response(n))
+    alphaf_new = yf / (jnp.fft.fft2(k2) + lambda_)
+    a = interp_factor
+    return CirculantState(
+        (1 - a) * state.alphaf + a * alphaf_new,
+        (1 - a) * state.template + a * z, cy, cx, n)
+
+
+# ---------------------------------------------------------------------------
+# Mean-shift likelihood tracker
+# ---------------------------------------------------------------------------
+
+class MeanShiftState(NamedTuple):
+    hist: jnp.ndarray   # [B] target intensity histogram (normalized)
+    cy: jnp.ndarray
+    cx: jnp.ndarray
+    radius: int
+    num_bins: int
+
+
+def meanshift_init(image, cy, cx, radius: int = 15,
+                   num_bins: int = 32) -> MeanShiftState:
+    """Build a DISCRIMINATIVE histogram: P(fg | bin) from a foreground
+    patch vs a surrounding background ring (the reference's likelihood
+    models — e.g. LikelihoodHueSatHistInd — are similarly normalized)."""
+    img = jnp.asarray(image, jnp.float32)
+    h, w = img.shape
+
+    def patch_hist(r_in, r_out):
+        ys = jnp.clip(jnp.arange(int(cy) - r_out, int(cy) + r_out + 1), 0, h - 1)
+        xs = jnp.clip(jnp.arange(int(cx) - r_out, int(cx) + r_out + 1), 0, w - 1)
+        patch = img[ys[:, None], xs[None, :]]
+        dy = jnp.arange(-r_out, r_out + 1)
+        ring = (jnp.abs(dy[:, None]) > r_in) | (jnp.abs(dy[None, :]) > r_in)
+        mask = ring if r_in > 0 else jnp.ones_like(ring, bool)
+        bins = jnp.clip((patch / 256.0 * num_bins).astype(jnp.int32), 0,
+                        num_bins - 1)
+        hist = jnp.zeros((num_bins,)).at[bins.ravel()].add(
+            mask.ravel().astype(jnp.float32))
+        return hist / jnp.maximum(jnp.sum(hist), 1e-12)
+
+    fg = patch_hist(0, radius)
+    bg = patch_hist(radius, 2 * radius)
+    likelihood = fg / (fg + bg + 1e-6)
+    return MeanShiftState(likelihood, jnp.float32(cy), jnp.float32(cx),
+                          radius, num_bins)
+
+
+def meanshift_track(state: MeanShiftState, image, iterations: int = 10):
+    """Back-projection weighted centroid iteration
+    (TrackerMeanShiftLikelihood.process)."""
+    img = jnp.asarray(image, jnp.float32)
+    h, w = img.shape
+    bins = jnp.clip((img / 256.0 * state.num_bins).astype(jnp.int32), 0,
+                    state.num_bins - 1)
+    likelihood = state.hist[bins]                        # [H, W]
+    r = state.radius
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    cy, cx = state.cy, state.cx
+    for _ in range(iterations):
+        yy = jnp.clip(jnp.round(cy + d).astype(jnp.int32), 0, h - 1)
+        xx = jnp.clip(jnp.round(cx + d).astype(jnp.int32), 0, w - 1)
+        wgt = likelihood[yy[:, None], xx[None, :]]
+        tot = jnp.sum(wgt) + 1e-12
+        cy = jnp.sum(wgt * (cy + d[:, None])) / tot
+        cx = jnp.sum(wgt * (cx + d[None, :])) / tot
+    return state._replace(cy=cy, cx=cx)

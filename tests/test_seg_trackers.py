@@ -1,0 +1,88 @@
+"""Segmentation + object tracker oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from boofcv_tpu.feature import segmentation, trackers
+
+
+def test_slic_respects_strong_boundary():
+    rng = np.random.default_rng(0)
+    img = np.zeros((60, 60), np.float32)
+    img[:, :30] = 50 + rng.normal(0, 2, (60, 30))
+    img[:, 30:] = 200 + rng.normal(0, 2, (60, 30))
+    lab = np.asarray(segmentation.slic(img, num_segments=16,
+                                       compactness=10.0))
+    # no superpixel should straddle the boundary significantly
+    left_labels = set(np.unique(lab[:, :28]).tolist())
+    right_labels = set(np.unique(lab[:, 32:]).tolist())
+    assert not (left_labels & right_labels)
+
+
+def test_mean_shift_filter_preserves_edges():
+    img = np.zeros((40, 40), np.float32)
+    img[:, 20:] = 100
+    noisy = img + np.random.default_rng(1).normal(0, 5, img.shape)
+    out = np.asarray(segmentation.mean_shift_filter(noisy, 2, 15.0))
+    assert out[:, :15].std() < noisy[:, :15].std()
+    assert abs(out[:, :15].mean() - 0) < 5
+    assert abs(out[:, 25:].mean() - 100) < 5
+
+
+def test_segment_mean_shift_two_regions():
+    img = np.zeros((30, 30), np.float32)
+    img[:, 15:] = 120
+    labels, _ = segmentation.segment_mean_shift(img)
+    assert len(np.unique(labels)) == 2
+
+
+def test_watershed_two_basins():
+    yy, xx = np.mgrid[0:40, 0:60]
+    # two valleys at x=15 and x=45, ridge at x=30
+    height = np.minimum(np.abs(xx - 15), np.abs(xx - 45)).astype(np.float32)
+    height = -height  # valleys low -> invert so basins are minima
+    height = height - height.min()
+    markers = np.zeros((40, 60), np.int32)
+    markers[20, 15] = 1
+    markers[20, 45] = 2
+    lab = np.asarray(segmentation.watershed(height, markers))
+    assert (lab > 0).all()
+    assert (lab[:, :28] == 1).mean() > 0.95
+    assert (lab[:, 32:] == 2).mean() > 0.95
+
+
+def _blob_sequence(n_frames=6, start=(30.0, 40.0), vel=(1.5, 2.0),
+                   shape=(80, 100)):
+    frames = []
+    cy, cx = start
+    rng = np.random.default_rng(2)
+    bgtex = rng.uniform(0, 40, shape).astype(np.float32)
+    traj = []
+    for i in range(n_frames):
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]]
+        blob = 200 * np.exp(-0.5 * (((yy - cy) / 6) ** 2 + ((xx - cx) / 6) ** 2))
+        frames.append((bgtex + blob).astype(np.float32))
+        traj.append((cy, cx))
+        cy += vel[0]
+        cx += vel[1]
+    return frames, traj
+
+
+def test_circulant_tracker_follows_blob():
+    frames, traj = _blob_sequence()
+    st = trackers.circulant_init(jnp.asarray(frames[0]), traj[0][0],
+                                 traj[0][1], size=48)
+    for i in range(1, len(frames)):
+        st = trackers.circulant_track(st, jnp.asarray(frames[i]))
+        assert abs(float(st.cy) - traj[i][0]) < 3.0
+        assert abs(float(st.cx) - traj[i][1]) < 3.0
+
+
+def test_meanshift_tracker_follows_blob():
+    frames, traj = _blob_sequence(vel=(1.0, 1.5))
+    st = trackers.meanshift_init(jnp.asarray(frames[0]), traj[0][0],
+                                 traj[0][1], radius=10)
+    for i in range(1, len(frames)):
+        st = trackers.meanshift_track(st, jnp.asarray(frames[i]))
+        assert abs(float(st.cy) - traj[i][0]) < 4.0
+        assert abs(float(st.cx) - traj[i][1]) < 4.0
