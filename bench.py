@@ -36,18 +36,21 @@ def main():
         max_disparity=96, ransac_hypotheses=256, refine_iterations=10)
     step = stereo_vo.make_step(cfg, K, baseline)
 
-    # synthetic sequence (rendered once, on host, excluded from timing)
+    # synthetic sequence — rendered on the host CPU backend (excluded from
+    # timing; the tunneled-TPU compile of the renderer would dominate)
     rng = np.random.default_rng(0)
-    n_frames = 12
+    n_frames = 6
     poses = []
     for i in range(n_frames):
         R = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002 * i, 0.0])))
         c = np.array([0.01 * i, 0.0, 0.05 * i])
         poses.append((jnp.asarray(R), jnp.asarray(-R @ c)))
-    frames = simulate.render_stereo_sequence(
-        rng, K, baseline, poses, H, W, plane_origin=(0.0, 0.0, 8.0),
-        texture_scale=55.0)
-    frames = [(np.asarray(l), np.asarray(r)) for l, r in frames]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        frames = simulate.render_stereo_sequence(
+            rng, K, baseline, poses, H, W, plane_origin=(0.0, 0.0, 8.0),
+            texture_scale=55.0)
+        frames = [(np.asarray(l), np.asarray(r)) for l, r in frames]
 
     state = stereo_vo.init_state(cfg, H, W)
     state = stereo_vo.bootstrap(state, frames[0][0], frames[0][1],
@@ -58,7 +61,7 @@ def main():
     jax.block_until_ready(m)
 
     # timed loop: cycle through rendered frames
-    reps = 30
+    reps = 20
     t0 = time.perf_counter()
     s = state
     for i in range(reps):
