@@ -52,13 +52,21 @@ def main():
             texture_scale=55.0)
         frames = [(np.asarray(l), np.asarray(r)) for l, r in frames]
 
+    import sys
+    t0 = time.perf_counter()
     state = stereo_vo.init_state(cfg, H, W)
-    state = stereo_vo.bootstrap(state, frames[0][0], frames[0][1],
-                                jnp.asarray(K), baseline, cfg)
+    boot = stereo_vo.make_bootstrap(cfg, K, baseline)
+    state = boot(state, jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]))
+    jax.block_until_ready(state)
+    print(f"# bootstrap compile+run: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     # warmup (compile)
+    t0 = time.perf_counter()
     warm_state, m = step(state, jnp.asarray(frames[1][0]), jnp.asarray(frames[1][1]))
     jax.block_until_ready(m)
+    print(f"# step compile+run: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     # timed loop: cycle through rendered frames
     reps = 20

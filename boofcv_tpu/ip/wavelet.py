@@ -1,0 +1,161 @@
+"""Discrete wavelet transform + wavelet denoising.
+
+Reference analog: boofcv-ip alg/transform/wavelet/ (WaveletTransformOps,
+Haar/Daub4/biorthogonal coefficient sets in FactoryWaveletDaub /
+FactoryWaveletHaar) and alg/denoise/wavelet/ (DenoiseVisuShrink,
+DenoiseBayesShrink, DenoiseSureShrink threshold rules).
+
+TPU design: each DWT level = strided separable convolutions (one fused
+program); thresholding rules are elementwise on the coefficient images.
+Images are padded to even sizes per level internally.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+WAVELETS = {
+    "haar": np.array([1.0, 1.0]) / math.sqrt(2.0),
+    "daub4": np.array([(1 + math.sqrt(3)), (3 + math.sqrt(3)),
+                       (3 - math.sqrt(3)), (1 - math.sqrt(3))]) / (4 * math.sqrt(2)),
+}
+
+
+def _filters(name: str):
+    lo = np.asarray(WAVELETS[name], np.float64)
+    n = len(lo)
+    hi = np.array([(-1) ** i * lo[n - 1 - i] for i in range(n)])
+    return jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32)
+
+
+def _analysis_1d(x, lo, hi, axis):
+    """Periodic downsampling filter bank along axis: returns (approx, detail)."""
+    n = x.shape[axis]
+    k = lo.shape[0]
+    # periodic extension
+    idx = (jnp.arange(n + k - 1)) % n
+    xe = jnp.take(x, idx, axis=axis)
+
+    def corr(f):
+        # correlation then stride-2 (keep even phases)
+        slices = []
+        for i in range(k):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(i, i + n)
+            slices.append(xe[tuple(sl)] * f[i])
+        y = sum(slices)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n, 2)
+        return y[tuple(sl)]
+
+    return corr(lo), corr(hi)
+
+
+def _synthesis_1d(a, d, lo, hi, axis):
+    """Inverse of _analysis_1d: x[m] = sum_i lo[i] ya[(m-i) mod n] +
+    hi[i] yd[(m-i) mod n] with ya/yd the zero-upsampled subbands — exact
+    periodic perfect reconstruction for orthonormal QMF pairs."""
+    k = lo.shape[0]
+
+    def up(x):
+        shape = list(x.shape)
+        shape[axis] = shape[axis] * 2
+        out = jnp.zeros(shape, x.dtype)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, None, 2)
+        return out.at[tuple(sl)].set(x)
+
+    ya = up(a)
+    yd = up(d)
+
+    def conv(x, f):
+        acc = 0
+        for i in range(k):
+            acc = acc + f[i] * jnp.roll(x, i, axis=axis)
+        return acc
+
+    return conv(ya, lo) + conv(yd, hi)
+
+
+def dwt2(image, wavelet: str = "haar"):
+    """One-level 2D DWT: returns (LL, (LH, HL, HH))."""
+    lo, hi = _filters(wavelet)
+    img = jnp.asarray(image, jnp.float32)
+    a, d = _analysis_1d(img, lo, hi, axis=1)
+    aa, ad = _analysis_1d(a, lo, hi, axis=0)
+    da, dd = _analysis_1d(d, lo, hi, axis=0)
+    return aa, (da, ad, dd)
+
+
+def idwt2(ll, bands, wavelet: str = "haar"):
+    lo, hi = _filters(wavelet)
+    da, ad, dd = bands
+    # undo axis-0 splits of the two column banks, then the axis-1 split
+    a = _synthesis_1d(ll, ad, lo, hi, axis=0)
+    d = _synthesis_1d(da, dd, lo, hi, axis=0)
+    return _synthesis_1d(a, d, lo, hi, axis=1)
+
+
+def wavedec2(image, wavelet: str = "haar", levels: int = 3):
+    """Multi-level decomposition: (LL_n, [bands_n, ..., bands_1])."""
+    coeffs = []
+    cur = jnp.asarray(image, jnp.float32)
+    for _ in range(levels):
+        cur, bands = dwt2(cur, wavelet)
+        coeffs.append(bands)
+    return cur, coeffs[::-1]
+
+
+def waverec2(ll, coeffs, wavelet: str = "haar"):
+    cur = ll
+    for bands in coeffs:
+        cur = idwt2(cur, bands, wavelet)
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Denoising threshold rules (alg/denoise/wavelet/)
+# ---------------------------------------------------------------------------
+
+def _soft(x, t):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+def _noise_sigma(hh):
+    """Robust noise estimate: median(|HH|)/0.6745 (standard, as used by
+    the reference's shrinkage rules)."""
+    return jnp.median(jnp.abs(hh)) / 0.6745
+
+
+def denoise_visu(image, wavelet: str = "haar", levels: int = 3):
+    """VisuShrink: universal threshold sigma*sqrt(2 log n)
+    (DenoiseVisuShrink_F32)."""
+    ll, coeffs = wavedec2(image, wavelet, levels)
+    sigma = _noise_sigma(coeffs[-1][2])
+    n = image.shape[0] * image.shape[1]
+    t = sigma * jnp.sqrt(2.0 * jnp.log(n))
+    out = [tuple(_soft(b, t) for b in bands) for bands in coeffs]
+    return waverec2(ll, out, wavelet)
+
+
+def denoise_bayes(image, wavelet: str = "haar", levels: int = 3):
+    """BayesShrink: per-subband t = sigma^2 / sigma_x
+    (DenoiseBayesShrink_F32)."""
+    ll, coeffs = wavedec2(image, wavelet, levels)
+    sigma = _noise_sigma(coeffs[-1][2])
+    s2 = sigma * sigma
+    out = []
+    for bands in coeffs:
+        thr_bands = []
+        for b in bands:
+            var_y = jnp.mean(b * b)
+            sig_x = jnp.sqrt(jnp.maximum(var_y - s2, 1e-12))
+            t = s2 / sig_x
+            thr_bands.append(_soft(b, t))
+        out.append(tuple(thr_bands))
+    return waverec2(ll, out, wavelet)

@@ -221,15 +221,29 @@ def make_step(cfg: StereoVoConfig, rectK, baseline: float):
     return step
 
 
+def make_bootstrap(cfg: StereoVoConfig, rectK, baseline: float):
+    """Jitted first-frame initializer (one compile, zero per-op dispatch —
+    critical on remote-compile TPU backends where every unjitted op pays a
+    compile round-trip)."""
+    pyr_cfg = PyramidConfig(scales=cfg.pyramid_scales)
+    rectK = jnp.asarray(rectK, jnp.float64)
+
+    @jax.jit
+    def boot(state: StereoVoState, left, right):
+        left = left.astype(jnp.float32)
+        pyramid = pyramid_ops.pyramid_average(left, pyr_cfg)
+        grads = pyramid_ops.gradient(pyramid)
+        return _spawn(state, pyramid, grads, left,
+                      right.astype(jnp.float32), rectK, baseline, cfg)
+
+    return boot
+
+
 def bootstrap(state: StereoVoState, left, right, rectK, baseline,
               cfg: StereoVoConfig):
-    """Initialize the track pool from the first frame pair."""
-    left = jnp.asarray(left, jnp.float32)
-    pyr_cfg = PyramidConfig(scales=cfg.pyramid_scales)
-    pyramid = pyramid_ops.pyramid_average(left, pyr_cfg)
-    grads = pyramid_ops.gradient(pyramid)
-    return _spawn(state, pyramid, grads, left, jnp.asarray(right, jnp.float32),
-                  rectK, baseline, cfg)
+    """Initialize the track pool from the first frame pair (jitted)."""
+    boot = make_bootstrap(cfg, rectK, baseline)
+    return boot(state, jnp.asarray(left), jnp.asarray(right))
 
 
 class StereoVisualOdometry:
@@ -242,6 +256,7 @@ class StereoVisualOdometry:
         self.rectK = jnp.asarray(rectK, jnp.float64)
         self.baseline = float(baseline)
         self._step = make_step(cfg, np.asarray(rectK), baseline)
+        self._boot = make_bootstrap(cfg, np.asarray(rectK), baseline)
         self.state = init_state(cfg, height, width, seed)
         self._first = True
         self.metrics = {}
@@ -253,8 +268,8 @@ class StereoVisualOdometry:
 
     def process(self, left, right) -> bool:
         if self._first:
-            self.state = bootstrap(self.state, left, right, self.rectK,
-                                   self.baseline, self.cfg)
+            self.state = self._boot(self.state, jnp.asarray(left),
+                                    jnp.asarray(right))
             self._first = False
             return True
         self.state, m = self._step(self.state, jnp.asarray(left),

@@ -1,0 +1,87 @@
+"""Oracles for wavelet, FFT, stats, MLS modules."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from boofcv_tpu.ip import wavelet, fft, stats, mls
+
+
+@pytest.mark.parametrize("wave", ["haar", "daub4"])
+def test_dwt_perfect_reconstruction(wave):
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 1, (64, 64)).astype(np.float32)
+    ll, bands = wavelet.dwt2(jnp.asarray(img), wave)
+    rec = np.asarray(wavelet.idwt2(ll, bands, wave))
+    np.testing.assert_allclose(rec, img, atol=1e-4)
+
+
+@pytest.mark.parametrize("wave", ["haar", "daub4"])
+def test_multilevel_reconstruction(wave):
+    rng = np.random.default_rng(1)
+    img = rng.normal(0, 1, (64, 96)).astype(np.float32)
+    ll, coeffs = wavelet.wavedec2(jnp.asarray(img), wave, levels=3)
+    rec = np.asarray(wavelet.waverec2(ll, coeffs, wave))
+    np.testing.assert_allclose(rec, img, atol=1e-4)
+
+
+def test_wavelet_energy_compaction():
+    # smooth image: detail energy should be tiny vs approx energy
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.sin(yy / 20.0) + np.cos(xx / 15.0)
+    ll, bands = wavelet.dwt2(jnp.asarray(img.astype(np.float32)))
+    e_ll = float(jnp.sum(ll ** 2))
+    e_d = sum(float(jnp.sum(b ** 2)) for b in bands)
+    assert e_d < 0.01 * e_ll
+
+
+@pytest.mark.parametrize("rule", [wavelet.denoise_visu, wavelet.denoise_bayes])
+def test_wavelet_denoising_reduces_noise(rule):
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:64, 0:64]
+    clean = 50 * np.sin(yy / 10.0) * np.cos(xx / 12.0)
+    noisy = clean + rng.normal(0, 8, clean.shape)
+    den = np.asarray(rule(jnp.asarray(noisy.astype(np.float32)), levels=2))
+    err_noisy = np.mean((noisy - clean) ** 2)
+    err_den = np.mean((den - clean) ** 2)
+    assert err_den < 0.6 * err_noisy
+
+
+def test_fft_roundtrip_and_filter():
+    rng = np.random.default_rng(3)
+    img = rng.normal(0, 1, (32, 48)).astype(np.float32)
+    rec = np.asarray(fft.inverse(fft.forward(img)))
+    np.testing.assert_allclose(rec, img, atol=1e-5)
+    # low-pass reduces high-frequency energy
+    tr = fft.gaussian_lowpass_transfer(32, 48, 0.2)
+    out = np.asarray(fft.filter_frequency(img, tr))
+    assert out.std() < img.std()
+
+
+def test_local_normalize():
+    rng = np.random.default_rng(4)
+    img = rng.normal(5.0, 2.0, (40, 40)).astype(np.float32) * 10
+    out = np.asarray(stats.local_normalize(img, radius=8))
+    assert abs(out.mean()) < 0.2
+    assert 0.5 < out.std() < 1.5
+
+
+def test_mls_identity_and_shift():
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 255, (40, 50)).astype(np.float32)
+    pts = np.array([[5.0, 5.0], [45.0, 5.0], [5.0, 35.0], [45.0, 35.0]])
+    # identity: src == dst
+    out = np.asarray(mls.deform(img, pts, pts))
+    np.testing.assert_allclose(out[5:-5, 5:-5], img[5:-5, 5:-5], atol=1e-3)
+    # uniform shift of all control points => shifted image
+    out2 = np.asarray(mls.deform(img, pts, pts + np.array([3.0, 0.0])))
+    np.testing.assert_allclose(out2[10:-10, 10:-10],
+                               img[10:-10, 7:-13], atol=1e-2)
+
+
+def test_mls_similarity_identity():
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 255, (30, 30)).astype(np.float32)
+    pts = np.array([[4.0, 4.0], [25.0, 4.0], [4.0, 25.0], [25.0, 25.0]])
+    out = np.asarray(mls.deform(img, pts, pts, kind="similarity"))
+    np.testing.assert_allclose(out[4:-4, 4:-4], img[4:-4, 4:-4], atol=1e-3)
