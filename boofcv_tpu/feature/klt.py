@@ -127,9 +127,11 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
     per_pixel = jnp.mean(jnp.abs(cur - desc), axis=(1, 2))
     in_bounds = ((cy >= r) & (cy <= h - 1 - r) & (cx >= r) & (cx <= w - 1 - r))
 
+    # NOTE: running out of iterations is NOT a fault — the reference's
+    # KltTracker accepts the iteration-limit estimate and only rejects on
+    # bounds / singular system / residual error (KltTracker.java:251).
     fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
     fault = jnp.where(per_pixel > cfg.max_per_pixel_error, FAULT_LARGE_ERROR, fault)
-    fault = jnp.where(~converged, FAULT_DRIFTED, fault)
     fault = jnp.where(~ok_det, FAULT_FAILED, fault)
     fault = jnp.where(~in_bounds, FAULT_OUT_OF_BOUNDS, fault)
     return cy, cx, fault

@@ -1,0 +1,56 @@
+"""Hough line + 2D stitching oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from boofcv_tpu.feature import lines
+from boofcv_tpu.sfm import stitch2d
+
+
+def test_hough_binary_finds_lines():
+    h, w = 80, 100
+    img = np.zeros((h, w), np.uint8)
+    img[20, :] = 1                       # horizontal line y=20
+    img[:, 60] = 1                       # vertical line x=60
+    res = lines.hough_binary(img, max_lines=2)
+    found = []
+    for i in range(2):
+        if bool(res.valid[i]):
+            found.append((float(res.rho[i]), float(res.theta[i])))
+    assert len(found) == 2
+    # vertical line x=60: theta ~ 0, rho ~ 60-49.5=10.5
+    # horizontal line y=20: theta ~ pi/2, rho ~ 20-39.5=-19.5
+    vert = min(found, key=lambda f: abs(f[1]))
+    horz = max(found, key=lambda f: abs(f[1]))
+    assert abs(vert[0] - 10.5) < 1.5 and abs(vert[1]) < 0.05
+    assert abs(horz[0] - (-19.5)) < 1.5 and abs(horz[1] - np.pi / 2) < 0.05
+
+
+def test_hough_gradient_finds_edge():
+    h, w = 60, 80
+    img = np.zeros((h, w), np.float32)
+    img[:, 40:] = 200.0                  # vertical step at x~40
+    res = lines.hough_gradient(img, max_lines=1, edge_threshold=50.0)
+    assert bool(res.valid[0])
+    assert abs(float(res.theta[0])) < 0.1          # vertical line
+    assert abs(float(res.rho[0]) - (39.5 - 39.5)) < 2.0
+
+
+def test_stitcher_translating_camera():
+    from boofcv_tpu.io.simulate import noise_texture
+    rng = np.random.default_rng(0)
+    # multi-octave texture: KLT needs coarse-scale structure
+    big = noise_texture(rng, size=260)[:140, :260].copy()
+    frames = [big[10:110, 10 + 12 * i:10 + 12 * i + 120] for i in range(5)]
+    st = stitch2d.Stitcher(140, 260, offset=(10.0, 10.0), num_tracks=200)
+    for f in frames:
+        assert st.process(f)
+    # recovered transform of the last frame should be ~translation of 48px
+    H = st.H_mosaic_from_frame
+    assert abs(H[0, 2] - (10 + 48)) < 1.0, H
+    assert abs(H[1, 2] - 10) < 1.0, H
+    assert abs(H[0, 0] - 1) < 0.02 and abs(H[1, 1] - 1) < 0.02
+    # mosaic should match the source where covered
+    m = st.image()
+    err = np.abs(m[30:90, 30:150] - big[30:90, 30:150])
+    assert np.median(err) < 4.0
