@@ -1,0 +1,97 @@
+"""SIFT + dense descriptor oracles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from boofcv_tpu.feature import sift, dense, associate
+
+
+def blob_image(rng, n_blobs=10, h=120, w=160, seed_pos=None):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w), np.float32)
+    pos = seed_pos if seed_pos is not None else np.stack(
+        [rng.uniform(20, h - 20, n_blobs), rng.uniform(20, w - 20, n_blobs)], 1)
+    for (cy, cx) in pos:
+        s = 3.0
+        img += 200 * np.exp(-0.5 * (((yy - cy) / s) ** 2 + ((xx - cx) / s) ** 2))
+    return img + rng.normal(0, 1, img.shape).astype(np.float32), pos
+
+
+def test_sift_detects_blobs():
+    rng = np.random.default_rng(0)
+    img, pos = blob_image(rng)
+    kp = sift.detect(jnp.asarray(img), max_features=10,
+                     contrast_threshold=5.0)
+    found = np.stack([np.asarray(kp.ys)[np.asarray(kp.valid)],
+                      np.asarray(kp.xs)[np.asarray(kp.valid)]], 1)
+    assert len(found) >= 8
+    d = np.linalg.norm(found[:, None] - pos[None], axis=-1).min(1)
+    assert (d < 2.5).mean() >= 0.8
+
+
+def test_sift_descriptor_rotation_consistency():
+    """The same local pattern rotated -> similar descriptor after the
+    orientation assignment."""
+    rng = np.random.default_rng(1)
+    h = w = 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    # anisotropic blob => strong dominant orientation
+    def render(theta):
+        c, s = np.cos(theta), np.sin(theta)
+        u = c * (xx - w / 2) + s * (yy - h / 2)
+        v = -s * (xx - w / 2) + c * (yy - h / 2)
+        return (200 * np.exp(-0.5 * ((u / 12) ** 2 + (v / 4) ** 2))
+                ).astype(np.float32)
+
+    img0 = render(0.0)
+    img1 = render(0.7)
+    ys = jnp.asarray([h / 2.0]); xs = jnp.asarray([w / 2.0])
+    sg = jnp.asarray([3.0])
+    a0 = sift.orientation_histogram(jnp.asarray(img0), ys, xs, sg)
+    a1 = sift.orientation_histogram(jnp.asarray(img1), ys, xs, sg)
+    d0 = sift.describe(jnp.asarray(img0), ys, xs, sg, a0)
+    d1 = sift.describe(jnp.asarray(img1), ys, xs, sg, a1)
+    cos = float(jnp.sum(d0 * d1))
+    assert cos > 0.9, cos
+
+
+def test_sift_matching_across_translation():
+    rng = np.random.default_rng(2)
+    img, pos = blob_image(rng)
+    big = np.zeros((140, 180), np.float32)
+    big[7:127, 11:171] = img
+    kp0, d0 = sift.detect_describe(jnp.asarray(img), max_features=10)
+    kp1, d1 = sift.detect_describe(jnp.asarray(big), max_features=10)
+    scores = associate.score_euclidean_sq(d0, d1)
+    m = associate.associate_mutual(scores, max_error=0.5)
+    src = np.asarray(m.src)[np.asarray(m.valid)]
+    dst = np.asarray(m.dst)[np.asarray(m.valid)]
+    assert len(src) >= 6
+    dy = np.asarray(kp1.ys)[dst] - np.asarray(kp0.ys)[src]
+    dx = np.asarray(kp1.xs)[dst] - np.asarray(kp0.xs)[src]
+    assert abs(np.median(dy) - 7) < 1.0
+    assert abs(np.median(dx) - 11) < 1.0
+
+
+def test_hog_shapes_and_edge_response():
+    img = np.zeros((64, 64), np.float32)
+    img[:, 32:] = 200  # vertical edge -> horizontal gradient
+    blocks = np.asarray(dense.hog(img, cell_size=8, block_cells=2,
+                                  num_bins=9))
+    assert blocks.shape == (7, 7, 36)
+    # blocks covering the edge: dominant bin should be the horizontal-
+    # gradient bin (angle 0 => bin around 0)
+    mid = blocks[3, 3].reshape(4, 9)
+    assert mid.sum() > 0
+    dom = mid.sum(0).argmax()
+    assert dom in (0, 8)  # wrap-adjacent bins of angle~0
+
+
+def test_dense_sift_grid():
+    rng = np.random.default_rng(3)
+    img, _ = blob_image(rng)
+    ys, xs, desc = dense.dense_sift(img, cell=8, step=16)
+    assert desc.shape[1] == 128
+    assert ys.shape[0] == desc.shape[0] > 10
+    norms = np.linalg.norm(np.asarray(desc), axis=1)
+    assert np.all(norms < 1.2)
