@@ -21,7 +21,9 @@ def _point_line_distance(pts, a, b):
     n = np.linalg.norm(ab)
     if n < 1e-12:
         return np.linalg.norm(pts - a, axis=1)
-    return np.abs(np.cross(ab / n, pts - a))
+    d = ab / n
+    rel = pts - a
+    return np.abs(d[0] * rel[:, 1] - d[1] * rel[:, 0])
 
 
 def fit_polyline(contour, tolerance: float = 2.0, closed: bool = True):
@@ -159,6 +161,6 @@ def polygon_is_convex(corners) -> bool:
     for i in range(n):
         a = c[(i + 1) % n] - c[i]
         b = c[(i + 2) % n] - c[(i + 1) % n]
-        signs.append(np.sign(np.cross(a, b)))
+        signs.append(np.sign(a[0] * b[1] - a[1] * b[0]))
     signs = [s for s in signs if s != 0]
     return all(s == signs[0] for s in signs)

@@ -104,7 +104,7 @@ def _order_finders(quads):
     # right-handed: cross(tr-tl, bl-tl) > 0 (y down)
     a = cs[o1] - cs[tl]
     b = cs[o2] - cs[tl]
-    if np.cross(a, b) < 0:
+    if a[0] * b[1] - a[1] * b[0] < 0:
         o1, o2 = o2, o1
     return (cs[tl], cs[o1], cs[o2]), (quads[tl], quads[o1], quads[o2])
 
@@ -114,7 +114,9 @@ def detect_and_decode(image, versions=range(1, 11)):
     (None, reason)."""
     quads = find_position_patterns(image)
     if len(quads) > 3:  # keep the 3 largest (alignment patterns are smaller)
-        areas = [0.5 * abs(np.cross(q[2] - q[0], q[3] - q[1])) for q in quads]
+        areas = [0.5 * abs((q[2] - q[0])[0] * (q[3] - q[1])[1]
+                           - (q[2] - q[0])[1] * (q[3] - q[1])[0])
+                 for q in quads]
         quads = [quads[i] for i in np.argsort(areas)[-3:]]
     ordered = _order_finders(quads)
     if ordered is None:
