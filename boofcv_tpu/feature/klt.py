@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from boofcv_tpu.ip.interpolate import bilinear
+from boofcv_tpu.ip.interpolate import bilinear, sample_rect_bilinear, sample_rect_bilinear_multi
 
 
 # Fault codes (KltTrackFault analog)
@@ -75,10 +75,11 @@ def sample_templates(pyramid: Sequence[jnp.ndarray],
     for lvl, s in enumerate(scales):
         cy = ys / s
         cx = xs / s
-        yy, xx = _patch_coords(cy, cx, radius)
-        desc.append(bilinear(pyramid[lvl], yy, xx))
-        gx.append(bilinear(dxs[lvl], yy, xx))
-        gy.append(bilinear(dys[lvl], yy, xx))
+        stack = jnp.stack([pyramid[lvl], dxs[lvl], dys[lvl]])
+        d, g1, g2 = sample_rect_bilinear_multi(stack, cy, cx, radius)
+        desc.append(d)
+        gx.append(g1)
+        gy.append(g2)
     return KltTemplates(tuple(desc), tuple(gx), tuple(gy))
 
 
@@ -104,8 +105,7 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
 
     def body(_, state):
         cy, cx, done = state
-        yy, xx = _patch_coords(cy, cx, r)
-        cur = bilinear(image, yy, xx)
+        cur = sample_rect_bilinear(image, cy, cx, r)
         err = cur - desc  # [N, P, P]
         bx = jnp.sum(err * gx, axis=(1, 2))
         by = jnp.sum(err * gy, axis=(1, 2))
@@ -122,8 +122,7 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
     cy, cx, converged = lax.fori_loop(0, cfg.max_iterations, body, (cy, cx, done0))
 
     # final error + bounds check
-    yy, xx = _patch_coords(cy, cx, r)
-    cur = bilinear(image, yy, xx)
+    cur = sample_rect_bilinear(image, cy, cx, r)
     per_pixel = jnp.mean(jnp.abs(cur - desc), axis=(1, 2))
     in_bounds = ((cy >= r) & (cy <= h - 1 - r) & (cx >= r) & (cx <= w - 1 - r))
 

@@ -226,8 +226,11 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
     def scorer(model, points):
         R, t, ok = model
         w, o = points
-        err = pnp.reprojection_error_sq(R, t, w.astype(jnp.float64),
-                                        o.astype(jnp.float64))
+        # scoring (the [K, N] bulk) runs f32 — plenty for inlier
+        # classification; solvers/refine stay f64
+        err = pnp.reprojection_error_sq(
+            R.astype(jnp.float32), t.astype(jnp.float32),
+            w.astype(jnp.float32), o.astype(jnp.float32))
         return jnp.where(ok, err, jnp.inf)
 
     result = ransac(key, (world, obs), solver, scorer, sample_size=3,

@@ -37,7 +37,7 @@ def _conv2d_valid(image: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
     out = lax.conv_general_dilated(
         img, ker, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
+        precision=lax.Precision.HIGH,
     )
     return out[0, 0]
 
@@ -118,7 +118,7 @@ def convolve_down(image: jnp.ndarray, kernel: jnp.ndarray, skip: int,
     out = lax.conv_general_dilated(
         img, ker, window_strides=strides, padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
+        precision=lax.Precision.HIGH,
     )
     return out[0, 0]
 

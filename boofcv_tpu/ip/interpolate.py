@@ -9,6 +9,7 @@ convention: integer coordinates hit pixel centers, valid domain is
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -89,8 +90,56 @@ def sample_rect_bilinear(image: jnp.ndarray, cy, cx, radius: int) -> jnp.ndarray
 
     Batched: cy/cx of shape [N] -> [N, 2r+1, 2r+1].  This is the TPU analog
     of InterpolateRectangle (used by the KLT template sampler).
+
+    Implementation: ONE contiguous dynamic_slice of (P+1, P+1) per track +
+    a 4-term bilinear blend with per-track scalar weights — XLA lowers
+    vmapped dynamic_slice to a block gather, orders of magnitude cheaper on
+    TPU than (2r+1)^2 random scalar gathers per track.  Centers whose
+    support leaves the image are clamped to the border (callers mask
+    out-of-bounds tracks separately, as KLT does).
     """
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    yy = cy[:, None, None] + d[None, :, None]
-    xx = cx[:, None, None] + d[None, None, :]
-    return bilinear(image, yy, xx)
+    p = 2 * radius + 1
+    h, w = image.shape
+    img = image if jnp.issubdtype(image.dtype, jnp.floating) else image.astype(jnp.float32)
+    y0f = jnp.floor(cy)
+    x0f = jnp.floor(cx)
+    fy = (cy - y0f).astype(img.dtype)
+    fx = (cx - x0f).astype(img.dtype)
+    yi = jnp.clip(y0f.astype(jnp.int32) - radius, 0, max(h - p - 1, 0))
+    xi = jnp.clip(x0f.astype(jnp.int32) - radius, 0, max(w - p - 1, 0))
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (p + 1, p + 1))
+
+    sl = jax.vmap(one)(yi, xi)                       # [N, P+1, P+1]
+    fy = fy[:, None, None]
+    fx = fx[:, None, None]
+    return ((1 - fy) * (1 - fx) * sl[:, :p, :p]
+            + (1 - fy) * fx * sl[:, :p, 1:]
+            + fy * (1 - fx) * sl[:, 1:, :p]
+            + fy * fx * sl[:, 1:, 1:])
+
+
+def sample_rect_bilinear_multi(images: jnp.ndarray, cy, cx,
+                               radius: int) -> jnp.ndarray:
+    """Like :func:`sample_rect_bilinear` for [C, H, W] stacks: one
+    (C, P+1, P+1) dynamic_slice per track.  Returns [C, N, P, P]."""
+    p = 2 * radius + 1
+    c, h, w = images.shape
+    img = images if jnp.issubdtype(images.dtype, jnp.floating) else images.astype(jnp.float32)
+    y0f = jnp.floor(cy)
+    x0f = jnp.floor(cx)
+    fy = (cy - y0f).astype(img.dtype)[None, :, None, None]
+    fx = (cx - x0f).astype(img.dtype)[None, :, None, None]
+    yi = jnp.clip(y0f.astype(jnp.int32) - radius, 0, max(h - p - 1, 0))
+    xi = jnp.clip(x0f.astype(jnp.int32) - radius, 0, max(w - p - 1, 0))
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(
+            img, (jnp.int32(0), y, x), (c, p + 1, p + 1))
+
+    sl = jnp.moveaxis(jax.vmap(one)(yi, xi), 0, 1)   # [C, N, P+1, P+1]
+    return ((1 - fy) * (1 - fx) * sl[..., :p, :p]
+            + (1 - fy) * fx * sl[..., :p, 1:]
+            + fy * (1 - fx) * sl[..., 1:, :p]
+            + fy * fx * sl[..., 1:, 1:])
