@@ -126,3 +126,78 @@ def test_bal_problem_optimizes(tmp_path):
     prob = bal.to_problem(bal.read_bal(path))
     out, info = ba.optimize(prob, iterations=10)
     assert float(info["final_cost"]) < 1e-6 * float(info["initial_cost"])
+
+
+def test_pnm_roundtrip(tmp_path):
+    from boofcv_tpu.io import image_io
+    rng = np.random.default_rng(4)
+    gray = rng.integers(0, 255, (30, 40)).astype(np.float32)
+    p = str(tmp_path / "img.pgm")
+    image_io.save(p, gray)
+    np.testing.assert_array_equal(image_io.load(p), gray)
+    rgb = rng.integers(0, 255, (20, 25, 3)).astype(np.float32)
+    p = str(tmp_path / "img.ppm")
+    image_io.save(p, rgb)
+    np.testing.assert_array_equal(image_io.load(p), rgb)
+
+
+def test_png_roundtrip(tmp_path):
+    from boofcv_tpu.io import image_io
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 255, (33, 47)).astype(np.float32)
+    p = str(tmp_path / "img.png")
+    image_io.save(p, gray)
+    np.testing.assert_array_equal(image_io.load(p), gray)
+    rgb = rng.integers(0, 255, (21, 19, 3)).astype(np.float32)
+    image_io.save(p, rgb)
+    np.testing.assert_array_equal(image_io.load(p), rgb)
+
+
+def test_png_filtered_decode(tmp_path):
+    """Decode a PNG whose rows use Sub/Up/Average/Paeth filters (write a
+    custom-filtered file, ensure the unfilter path reproduces it)."""
+    from boofcv_tpu.io import image_io
+    import struct, zlib
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 255, (8, 12)).astype(np.uint8)
+    # build rows with varying filter types
+    rows = []
+    prev = np.zeros(12, np.int32)
+    for y in range(8):
+        f = y % 5
+        line = arr[y].astype(np.int32)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line.copy()
+            for x in range(11, 0, -1):
+                enc[x] = (enc[x] - line[x - 1]) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            enc = line.copy()
+            for x in range(11, -1, -1):
+                left = line[x - 1] if x >= 1 else 0
+                enc[x] = (enc[x] - ((left + prev[x]) >> 1)) & 0xFF
+        else:
+            enc = line.copy()
+            for x in range(11, -1, -1):
+                a = line[x - 1] if x >= 1 else 0
+                b = prev[x]
+                c = prev[x - 1] if x >= 1 else 0
+                p_ = a + b - c
+                pa, pb, pc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (enc[x] - pred) & 0xFF
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = line
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", 12, 8, 8, 0, 0, 0, 0)
+    p = str(tmp_path / "f.png")
+    with open(p, "wb") as fo:
+        fo.write(b"\x89PNG\r\n\x1a\n")
+        fo.write(image_io._png_chunk(b"IHDR", ihdr))
+        fo.write(image_io._png_chunk(b"IDAT", zlib.compress(raw)))
+        fo.write(image_io._png_chunk(b"IEND", b""))
+    out = image_io.load(p)
+    np.testing.assert_array_equal(out, arr.astype(np.float32))
