@@ -88,47 +88,81 @@ def assemble_grid(ys, xs, valid, rows: int, cols: int):
     return _order_grid(pts, rows, cols)
 
 
+def _convex_hull(pts):
+    """Andrew monotone chain; returns hull vertices counter-clockwise."""
+    p = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower, upper = [], []
+    for q in p:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], q) <= 0:
+            lower.pop()
+        lower.append(q)
+    for q in p[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], q) <= 0:
+            upper.pop()
+        upper.append(q)
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
 def _order_grid(pts, rows, cols):
-    # principal axes via PCA of displacements to 4 nearest neighbors
-    d2 = ((pts[:, None] - pts[None, :]) ** 2).sum(-1)
-    np.fill_diagonal(d2, np.inf)
-    nn = np.argsort(d2, axis=1)[:, :4]
-    disp = (pts[nn] - pts[:, None]).reshape(-1, 2)
-    # cluster displacement directions (mod 180deg): use the most common
-    ang = np.arctan2(disp[:, 1], disp[:, 0]) % np.pi
-    hist, edges = np.histogram(ang, bins=36)
-    a0 = edges[np.argmax(hist)] + (edges[1] - edges[0]) / 2
-    u = np.array([np.cos(a0), np.sin(a0)])
-    # canonicalize directions (a chessboard has 180-degree ambiguity;
-    # report the orientation with u ~ +x, v ~ +y)
-    if u[0] < 0 or (abs(u[0]) < 1e-9 and u[1] < 0):
-        u = -u
-    v = np.array([-u[1], u[0]])
-    if v[1] < 0:
-        v = -v
-    # lattice coordinates = projections, ranked
-    pu = pts @ u
-    pv = pts @ v
-    # decide orientation: more columns along u if cols >= rows
-    order = np.lexsort((pu, np.round((pv - pv.min()) /
-                                     ((pv.max() - pv.min()) / max(rows - 1, 1) + 1e-9))))
-    grid = pts[order]
-    # rank rows by pv bands
-    band = np.round((pv - pv.min()) / ((pv.max() - pv.min()) /
-                                       max(rows - 1, 1) + 1e-9)).astype(int)
-    out = np.zeros((rows * cols, 2))
-    ok = True
-    for r in range(rows):
-        sel = band == r
-        if sel.sum() != cols:
-            ok = False
-            break
-        row_pts = pts[sel]
-        row_pts = row_pts[np.argsort(row_pts @ u)]
-        out[r * cols:(r + 1) * cols] = row_pts
-    if not ok:
+    """Perspective-robust lattice ordering: find the 4 extreme corners on
+    the convex hull (max-area quad), fit the grid->image homography for
+    each cyclic corner assignment, and accept the one under which every
+    corner rounds to a unique in-range lattice cell.  Exact under full
+    projective distortion (the reference's corner-graph clustering plays
+    the same role)."""
+    from itertools import combinations
+    from boofcv_tpu.geo import epipolar
+    import jax.numpy as jnp
+
+    n = rows * cols
+    if len(pts) != n:
         return None
-    return out
+    hull = _convex_hull(pts)
+    if len(hull) < 4:
+        return None
+    best_quad, best_area = None, -1.0
+    for comb in combinations(range(len(hull)), 4):
+        q = hull[list(comb)]
+        area = 0.5 * abs(sum(
+            q[i][0] * q[(i + 1) % 4][1] - q[(i + 1) % 4][0] * q[i][1]
+            for i in range(4)))
+        if area > best_area:
+            best_area, best_quad = area, q
+
+    grid_corners = np.array([[0.0, 0.0], [cols - 1.0, 0.0],
+                             [cols - 1.0, rows - 1.0], [0.0, rows - 1.0]])
+    candidates = []
+    for k in range(4):
+        quad = np.roll(best_quad, -k, axis=0)
+        H = np.asarray(epipolar.homography_dlt(
+            jnp.asarray(grid_corners[None]), jnp.asarray(quad[None])))[0]
+        Hinv = np.linalg.inv(H)
+        ph = np.concatenate([pts, np.ones((n, 1))], 1) @ Hinv.T
+        lat = ph[:, :2] / ph[:, 2:]
+        ij = np.round(lat).astype(int)
+        if np.abs(lat - ij).max() > 0.35:
+            continue
+        if ij[:, 0].min() < 0 or ij[:, 0].max() >= cols or \
+           ij[:, 1].min() < 0 or ij[:, 1].max() >= rows:
+            continue
+        flat = ij[:, 1] * cols + ij[:, 0]
+        if len(set(flat.tolist())) != n:
+            continue
+        out = np.zeros((n, 2))
+        out[flat] = pts
+        candidates.append((quad[0], out))
+    if not candidates:
+        return None
+    # canonical orientation among valid candidates: grid origin at the
+    # quad corner with the smallest x+y (the board's 180-degree ambiguity
+    # is inherent; this picks a deterministic one)
+    candidates.sort(key=lambda c: c[0][0] + c[0][1])
+    return candidates[0][1]
 
 
 def detect_chessboard(image, rows: int, cols: int, max_corners: int = 300):

@@ -1,0 +1,113 @@
+"""End-to-end CLI tests: each tool runs against generated data."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_batch_scan_qr_cli(tmp_path, capsys):
+    from boofcv_tpu.recognition.qr import code as qr, detector
+    from boofcv_tpu.io import image_io
+    from boofcv_tpu.cli import batch_scan_qr
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i, text in enumerate(["alpha", "beta"]):
+        mat = qr.encode(text, 1, "M", i % 8)
+        image_io.save(str(d / f"{i}.png"), detector.render(mat, 5))
+    # a decoy with no QR
+    image_io.save(str(d / "z.png"),
+                  np.random.default_rng(0).uniform(0, 255, (60, 60)))
+    rc = batch_scan_qr.main(["--images", str(d)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "alpha" in out and "beta" in out
+    assert "decoded 2/3" in out
+
+
+def test_camera_calibration_cli(tmp_path, capsys):
+    from boofcv_tpu.io import image_io
+    from boofcv_tpu.io import calibration_io as cio
+    from boofcv_tpu.cli import camera_calibration
+    import jax.numpy as jnp
+    from boofcv_tpu.geo import se3
+
+    # render synthetic chessboard views through a known camera
+    rows, cols, sq = 4, 5, 0.03
+    K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1.0]])
+    xs, ys = np.meshgrid(np.arange(cols + 2) * sq, np.arange(rows + 2) * sq)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    n_views = 5
+    for v in range(n_views):
+        w = np.array([0.3, -0.25, 0.1]) * rng.uniform(-1, 1, 3)
+        R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        t = np.array([rng.uniform(-0.02, 0.02), rng.uniform(-0.02, 0.02),
+                      rng.uniform(0.30, 0.45)])
+        # render 2x supersampled then box-downsample (camera-like blur —
+        # the corner detector needs antialiased edges, as real images have)
+        SS = 2
+        board = np.zeros((rows + 1, cols + 1), bool)
+        board[::2, ::2] = True
+        board[1::2, 1::2] = True
+        Kss = K.copy() * SS
+        Kss[2, 2] = 1.0
+        yy, xx = np.mgrid[0:240 * SS, 0:320 * SS]
+        Kinv = np.linalg.inv(Kss)
+        rays = np.stack([xx, yy, np.ones_like(xx)], -1) @ Kinv.T
+        Rt = R.T
+        d_t = rays @ R                     # direction in target frame
+        c0 = -Rt @ t
+        s = -c0[2] / np.where(np.abs(d_t[..., 2]) < 1e-12, 1e-12, d_t[..., 2])
+        P = c0 + s[..., None] * d_t
+        u = P[..., 0] + (cols + 2) * sq / 2
+        vcoord = P[..., 1] + (rows + 2) * sq / 2
+        bx = np.floor(u / sq).astype(int) - 1
+        by = np.floor(vcoord / sq).astype(int) - 1
+        inside = (bx >= 0) & (bx <= cols) & (by >= 0) & (by <= rows) & (s > 0)
+        dark = np.zeros_like(inside)
+        dark[inside] = board[by[inside], bx[inside]]
+        img = np.where(dark, 25.0, 230.0).astype(np.float32)
+        img = img.reshape(240, SS, 320, SS).mean((1, 3))
+        image_io.save(str(d / f"v{v}.png"), img)
+
+    out_yaml = str(tmp_path / "cam.yaml")
+    rc = camera_calibration.main(["--images", str(d), "--rows", str(rows),
+                                  "--cols", str(cols), "--square", str(sq),
+                                  "--output", out_yaml])
+    assert rc == 0, capsys.readouterr().err
+    cam = cio.load_pinhole_brown(out_yaml)
+    assert abs(cam.fx - 300.0) / 300.0 < 0.05, cam.fx
+    assert abs(cam.cx - 160.0) < 10
+
+
+def test_stereo_vo_demo_cli(tmp_path, capsys):
+    from boofcv_tpu.io import image_io, simulate
+    from boofcv_tpu.cli import stereo_vo_demo
+    import jax.numpy as jnp
+    from boofcv_tpu.geo import se3
+
+    H, W = 120, 160
+    K = np.array([[150.0, 0, W / 2], [0, 150.0, H / 2], [0, 0, 1.0]])
+    rng = np.random.default_rng(0)
+    poses = []
+    for i in range(4):
+        R = np.eye(3)
+        c = np.array([0.0, 0.0, 0.05 * i])
+        poses.append((jnp.asarray(R), jnp.asarray(-R @ c)))
+    frames = simulate.render_stereo_sequence(rng, K, 0.3, poses, H, W)
+    ld = tmp_path / "left"; rd = tmp_path / "right"
+    ld.mkdir(); rd.mkdir()
+    for i, (l, r) in enumerate(frames):
+        image_io.save(str(ld / f"{i:03d}.png"), np.asarray(l))
+        image_io.save(str(rd / f"{i:03d}.png"), np.asarray(r))
+    out = str(tmp_path / "traj.txt")
+    rc = stereo_vo_demo.main(["--left", str(ld), "--right", str(rd),
+                              "--fx", "150", "--baseline", "0.3",
+                              "--output", out])
+    assert rc == 0
+    traj = np.loadtxt(out)
+    assert traj.shape == (4, 12)
+    # final z displacement ~ 0.15
+    assert abs(traj[-1, 11] - 0.15) < 0.05, traj[-1]
