@@ -141,16 +141,19 @@ def fundamental_7pt(p1, p2):
     return F, real
 
 
-def essential_8pt(p1, p2):
+def essential_8pt(p1, p2, weights=None):
     """Essential matrix from >=8 *normalized image coords* via the linear
     solver + projection onto the essential manifold (sigma=(1,1,0)).
 
     The reference exposes Nister-5pt for minimal sets; for hypothesis-
     parallel RANSAC an 8-point minimal set with exact manifold projection
     is equally usable and far more TPU-regular.  p1, p2: [..., N>=8, 2]
-    in normalized (K^-1) coordinates.
+    in normalized (K^-1) coordinates.  ``weights`` scales design rows
+    (inlier-mask refits).
     """
     A = _epipolar_design(p1.astype(jnp.float64), p2.astype(jnp.float64))
+    if weights is not None:
+        A = A * weights.astype(A.dtype)[..., None]
     e = _smallest_singular_vector(A)
     E = e.reshape(e.shape[:-1] + (3, 3))
     U, s, Vt = jnp.linalg.svd(E)

@@ -169,8 +169,10 @@ def ransac_fundamental(key, p1, p2, num_hypotheses: int = 512,
 
 
 def ransac_essential(key, p1n, p2n, num_hypotheses: int = 512,
-                     inlier_threshold: float = 1e-3, valid_mask=None):
-    """Robust E from normalized coords via 8-point minimal sets + Sampson."""
+                     inlier_threshold: float = 1e-3, valid_mask=None,
+                     refit_rounds: int = 2):
+    """Robust E from normalized coords via 8-point minimal sets + Sampson,
+    with LO-style weighted refits on the inlier set."""
     from boofcv_tpu.geo import epipolar
 
     def solver(sample):
@@ -182,9 +184,23 @@ def ransac_essential(key, p1n, p2n, num_hypotheses: int = 512,
         return epipolar.sampson_error(E, q1.astype(jnp.float64),
                                       q2.astype(jnp.float64))
 
-    return ransac(key, (p1n, p2n), solver, scorer, sample_size=8,
-                  num_hypotheses=num_hypotheses,
-                  inlier_threshold=inlier_threshold, valid_mask=valid_mask)
+    res = ransac(key, (p1n, p2n), solver, scorer, sample_size=8,
+                 num_hypotheses=num_hypotheses,
+                 inlier_threshold=inlier_threshold, valid_mask=valid_mask)
+    E = res.model
+    inliers = res.inliers
+    p164 = p1n.astype(jnp.float64)
+    p264 = p2n.astype(jnp.float64)
+    err = None
+    for _ in range(refit_rounds):
+        E = epipolar.essential_8pt(p164, p264, weights=inliers)
+        err = epipolar.sampson_error(E, p164, p264)
+        err = jnp.where(jnp.isnan(err), jnp.inf, err)
+        if valid_mask is not None:
+            err = jnp.where(valid_mask, err, jnp.inf)
+        inliers = err <= inlier_threshold
+    msac = jnp.sum(jnp.minimum(err, inlier_threshold))
+    return RansacResult(E, inliers, jnp.sum(inliers), msac)
 
 
 def ransac_homography(key, p1, p2, num_hypotheses: int = 512,
