@@ -65,8 +65,16 @@ def make_step(cfg: svo.StereoVoConfig, K):
         new_ys = jnp.where(take, cand_y[src], state.ys)
         new_world = jnp.where(take[:, None], Xw[src], state.world)
         new_alive = state.alive | take
-        tmpl = klt.sample_templates(pyramid, grads, new_ys, new_xs,
-                                    cfg.pyramid_scales, cfg.template_radius)
+        tmpl_new = klt.sample_templates(pyramid, grads, new_ys, new_xs,
+                                        cfg.pyramid_scales,
+                                        cfg.template_radius)
+        mix = lambda new, old: tuple(
+            jnp.where(take[:, None, None], n_, o_)
+            for n_, o_ in zip(new, old))
+        tmpl = klt.KltTemplates(
+            mix(tmpl_new.desc, state.templates.desc),
+            mix(tmpl_new.grad_x, state.templates.grad_x),
+            mix(tmpl_new.grad_y, state.templates.grad_y))
         return state._replace(xs=new_xs, ys=new_ys, world=new_world,
                               alive=new_alive, templates=tmpl)
 
@@ -99,9 +107,7 @@ def make_step(cfg: svo.StereoVoConfig, K):
         new_state = jax.lax.cond(
             frac < cfg.respawn_below,
             lambda s: spawn(s, pyramid, grads, gray, depth),
-            lambda s: s._replace(templates=klt.sample_templates(
-                pyramid, grads, s.ys, s.xs, cfg.pyramid_scales,
-                cfg.template_radius)),
+            lambda s: s,
             new_state)
         return new_state, {"tracked": jnp.sum(tracked),
                            "inliers": res.num_inliers,

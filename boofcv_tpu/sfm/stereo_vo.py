@@ -61,6 +61,8 @@ class StereoVoState(NamedTuple):
     R: jnp.ndarray           # [3, 3] f64 world->camera
     t: jnp.ndarray           # [3]
     key: jnp.ndarray         # PRNG state for RANSAC
+    uid: jnp.ndarray         # [N] int32 stable track id (windowed BA)
+    next_uid: jnp.ndarray    # scalar int32
 
 
 def init_state(cfg: StereoVoConfig, height: int, width: int,
@@ -75,7 +77,9 @@ def init_state(cfg: StereoVoConfig, height: int, width: int,
         alive=jnp.zeros((n,), bool),
         templates=klt.KltTemplates(zero_t, zero_t, zero_t),
         R=jnp.eye(3, dtype=jnp.float64), t=jnp.zeros((3,), jnp.float64),
-        key=jax.random.PRNGKey(seed))
+        key=jax.random.PRNGKey(seed),
+        uid=jnp.full((n,), -1, jnp.int32),
+        next_uid=jnp.int32(0))
 
 
 def _detect_candidates(image, cfg: StereoVoConfig, n_cand: int):
@@ -140,12 +144,25 @@ def _spawn(state: StereoVoState, pyramid, grads, left, right,
     new_ys = jnp.where(take, cand_y[src], state.ys)
     new_world = jnp.where(take[:, None], Xw[src], state.world)
     new_alive = state.alive | take
+    # fresh stable ids for spawned slots (windowed BA keys on these)
+    new_uid = jnp.where(take, state.next_uid + slot_rank.astype(jnp.int32) - 1,
+                        state.uid)
+    next_uid = state.next_uid + jnp.max(slot_rank * take).astype(jnp.int32)
 
-    # resample templates for every slot at its (possibly new) position
-    tmpl = klt.sample_templates(pyramid, grads, new_ys, new_xs,
-                                cfg.pyramid_scales, cfg.template_radius)
+    # sample templates at the new positions, but KEEP existing tracks'
+    # spawn-time templates (the reference's KLT never updates a track's
+    # description after spawn — per-frame resampling accumulates drift
+    # bias along the motion direction)
+    tmpl_new = klt.sample_templates(pyramid, grads, new_ys, new_xs,
+                                    cfg.pyramid_scales, cfg.template_radius)
+    mix = lambda new, old: tuple(
+        jnp.where(take[:, None, None], n_, o_) for n_, o_ in zip(new, old))
+    tmpl = klt.KltTemplates(mix(tmpl_new.desc, state.templates.desc),
+                            mix(tmpl_new.grad_x, state.templates.grad_x),
+                            mix(tmpl_new.grad_y, state.templates.grad_y))
     return state._replace(xs=new_xs, ys=new_ys, world=new_world,
-                          alive=new_alive, templates=tmpl)
+                          alive=new_alive, templates=tmpl,
+                          uid=new_uid, next_uid=next_uid)
 
 
 def make_step(cfg: StereoVoConfig, rectK, baseline: float):
@@ -203,11 +220,7 @@ def make_step(cfg: StereoVoConfig, rectK, baseline: float):
             return _spawn(s, pyramid, grads, left, right, rectK, baseline, cfg)
 
         def no_spawn(s):
-            # still refresh templates at current positions (frame-to-frame KLT)
-            tmpl = klt.sample_templates(pyramid, grads, s.ys, s.xs,
-                                        cfg.pyramid_scales,
-                                        cfg.template_radius)
-            return s._replace(templates=tmpl)
+            return s
 
         new_state = jax.lax.cond(frac < cfg.respawn_below, do_spawn,
                                  no_spawn, new_state)
