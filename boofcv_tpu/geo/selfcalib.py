@@ -1,0 +1,127 @@
+"""Self-calibration and projective-to-metric upgrades.
+
+Reference analog: boofcv-geo/boofcv-calibration alg/geo/selfcalib/ —
+SelfCalibrationLinearDualQuadratic.java (linear dual absolute quadric
+from projective cameras), DecomposeAbsoluteDualQuadratic.java, plus
+alg/geo/h/HomographyDecomposition (decomposeHomography) and
+alg/geo/structure/ProjectiveStructureByFactorization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def homography_decompose(H, K1=None, K2=None):
+    """Decompose a metric homography H = R + t n^T / d into candidate
+    (R, t/d, n) solutions (Faugeras SVD method;
+    HomographyDecomposition analog).
+
+    H maps normalized coords view1 -> view2 (pass K matrices to
+    un-calibrate a pixel homography).  Returns list of (R, t, n) — up to
+    4 physically distinct solutions.
+    """
+    H = np.asarray(H, np.float64)
+    if K1 is not None:
+        H = np.linalg.inv(np.asarray(K2, np.float64)) @ H @ np.asarray(K1, np.float64)
+    U, S, Vt = np.linalg.svd(H)
+    H = H / S[1]
+    U, S, Vt = np.linalg.svd(H)
+    s = np.linalg.det(U) * np.linalg.det(Vt)
+    d1, d2, d3 = S
+    if abs(d1 - d3) < 1e-9:   # pure rotation
+        return [(H, np.zeros(3), np.array([0.0, 0, 1]))]
+    x1 = np.sqrt(max((d1 ** 2 - d2 ** 2) / (d1 ** 2 - d3 ** 2), 0.0))
+    x3 = np.sqrt(max((d2 ** 2 - d3 ** 2) / (d1 ** 2 - d3 ** 2), 0.0))
+    sols = []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            n_p = np.array([e1 * x1, 0.0, e3 * x3])
+            sin_t = e1 * e3 * x1 * x3 * (d1 - d3) / d2
+            cos_t = (d2 ** 2 + d1 * d3) / ((d1 + d3) * d2)
+            Rp = np.array([[cos_t, 0, -sin_t], [0, 1, 0], [sin_t, 0, cos_t]])
+            tp = (d1 - d3) * np.array([e1 * x1, 0.0, -e3 * x3])
+            R = s * U @ Rp @ Vt
+            t = U @ tp
+            n = Vt.T @ n_p
+            if n[2] < 0:
+                n = -n
+                t = -t
+            sols.append((R, t, n))
+    return sols
+
+
+def self_calibrate_dual_quadratic(Ps, zero_skew: bool = True,
+                                  known_aspect: bool = True,
+                                  principal_at_origin: bool = True):
+    """Linear self-calibration from >=3 projective cameras
+    (SelfCalibrationLinearDualQuadratic).
+
+    Ps: [V, 3, 4] projective cameras consistent with one projective frame
+    (P1 = [I|0] recommended, cameras normalized so pixels are centered:
+    this implementation assumes principal point ~ 0 as the reference's
+    linear variant does).  Returns (K, rectifying H [4, 4]) such that
+    P_metric = P H.
+    """
+    Ps = np.asarray(Ps, np.float64)
+    V = Ps.shape[0]
+    # unknowns: Q* (4x4 symmetric, 10 params).  Constraints from
+    # w = P Q* P^T: zero skew w01=0; unit aspect w00=w11;
+    # principal point w02=w12=0
+    def q_coeffs(P, i, j):
+        """Row expressing w_ij as linear comb of the 10 Q params."""
+        # Q indices (a<=b): order (00,01,02,03,11,12,13,22,23,33)
+        idx = [(0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3),
+               (2, 2), (2, 3), (3, 3)]
+        row = np.zeros(10)
+        for n, (a, b) in enumerate(idx):
+            v = P[i, a] * P[j, b] + (P[i, b] * P[j, a] if a != b else 0.0)
+            row[n] = v
+        return row
+
+    rows = []
+    for v in range(V):
+        P = Ps[v]
+        if zero_skew:
+            rows.append(q_coeffs(P, 0, 1))
+        if principal_at_origin:
+            rows.append(q_coeffs(P, 0, 2))
+            rows.append(q_coeffs(P, 1, 2))
+        if known_aspect:
+            rows.append(q_coeffs(P, 0, 0) - q_coeffs(P, 1, 1))
+    A = np.stack(rows)
+    _, _, Vt = np.linalg.svd(A)
+    q = Vt[-1]
+    idx = [(0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3),
+           (2, 2), (2, 3), (3, 3)]
+    Q = np.zeros((4, 4))
+    for n, (a, b) in enumerate(idx):
+        Q[a, b] = q[n]
+        Q[b, a] = q[n]
+    # sign: make Q PSD-ish (rank 3)
+    w, v = np.linalg.eigh(Q)
+    if w.sum() < 0:
+        Q = -Q
+        w, v = np.linalg.eigh(Q)
+    # decompose (DecomposeAbsoluteDualQuadratic): Q* = H diag(1,1,1,0) H^T
+    order = np.argsort(w)[::-1]
+    w = w[order]
+    v = v[:, order]
+    w3 = np.clip(w[:3], 1e-12, None)
+    H = v[:, :4].copy()
+    H[:, :3] = v[:, :3] * np.sqrt(w3)
+    H[:, 3] = v[:, 3]
+    # K of camera 0 from w0 = P0 Q* P0^T
+    w0 = Ps[0] @ Q @ Ps[0].T
+    w0 = w0 / w0[2, 2]
+    # K via Cholesky of w0 (w = K K^T)
+    K = np.linalg.cholesky(
+        (w0 + w0.T) / 2.0 + 1e-12 * np.eye(3))
+    # upper-triangularize: w = K K^T wants K upper; use the transpose trick
+    # via Cholesky of the inverse:
+    Winv = np.linalg.inv((w0 + w0.T) / 2.0 + 1e-12 * np.eye(3))
+    L = np.linalg.cholesky(Winv)
+    K = np.linalg.inv(L.T)
+    K = K / K[2, 2]
+    return K, H
