@@ -37,7 +37,7 @@ FAULT_LARGE_ERROR = 4     # per-pixel SSD error above maxPerPixelError
 class KltConfig:
     """PkltConfig analog (struct/pyramid config lives separately)."""
     template_radius: int = 3
-    max_iterations: int = 15
+    max_iterations: int = 8
     max_per_pixel_error: float = 25.0
     min_determinant: float = 0.001
     convergence_tol: float = 0.01  # pixels at the level's scale
@@ -83,15 +83,40 @@ def sample_templates(pyramid: Sequence[jnp.ndarray],
     return KltTemplates(tuple(desc), tuple(gx), tuple(gy))
 
 
-def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
+def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
+                 use_pallas: bool = False):
     """One level of inverse-compositional KLT for all N tracks at once.
 
     image: [h, w]; desc/gx/gy: [N, P, P]; cy/cx: [N] initial positions at
     this level's scale.  Returns (cy, cx, fault).
+
+    use_pallas=True runs the fused Pallas kernel (all GN iterations in
+    one launch, image resident in VMEM) — the XLA path pays per-iteration
+    stage overhead instead.
     """
     n = desc.shape[0]
     r = cfg.template_radius
     h, w = image.shape
+
+    if use_pallas:
+        from boofcv_tpu.kernels.klt_pallas import klt_level_pallas
+        gxx = jnp.sum(gx * gx, axis=(1, 2))
+        gxy = jnp.sum(gx * gy, axis=(1, 2))
+        gyy = jnp.sum(gy * gy, axis=(1, 2))
+        det = gxx * gyy - gxy * gxy
+        area = (2 * r + 1) ** 2
+        ok_det = det / area >= cfg.min_determinant
+        cy, cx, per_pixel, _ = klt_level_pallas(
+            image, desc, gx, gy, cy, cx, radius=r,
+            iterations=cfg.max_iterations)
+        in_bounds = ((cy >= r) & (cy <= h - 1 - r)
+                     & (cx >= r) & (cx <= w - 1 - r))
+        fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
+        fault = jnp.where(per_pixel > cfg.max_per_pixel_error,
+                          FAULT_LARGE_ERROR, fault)
+        fault = jnp.where(~ok_det, FAULT_FAILED, fault)
+        fault = jnp.where(~in_bounds, FAULT_OUT_OF_BOUNDS, fault)
+        return cy, cx, fault
 
     # Inverse-compositional: Hessian from template gradients, constant
     # across iterations (KltTracker precomputes Gxx,Gxy,Gyy at :147).
@@ -138,12 +163,17 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
 
 def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
                   ys: jnp.ndarray, xs: jnp.ndarray,
-                  scales: Sequence[int], cfg: KltConfig):
+                  scales: Sequence[int], cfg: KltConfig,
+                  use_pallas: bool | None = None):
     """Coarse-to-fine tracking of all N features (PyramidKltTracker.track:113).
 
     ys/xs: [N] full-resolution positions.  Returns (ys, xs, fault) — fault
     is the worst fault seen at any level (OK if all levels tracked).
+    use_pallas=None auto-selects: the fused kernel on TPU backends, the
+    XLA stage loop elsewhere.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     n = ys.shape[0]
     fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
     num_levels = len(scales)
@@ -153,7 +183,7 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
         s = scales[lvl]
         cy_l, cx_l, f = _track_level(
             pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
-            templates.grad_y[lvl], cy, cx, cfg)
+            templates.grad_y[lvl], cy, cx, cfg, use_pallas=use_pallas)
         # tracks that fault keep their pre-level position (will be dropped)
         good = f == TRACK_OK
         cy = jnp.where(good, cy_l, cy)

@@ -26,15 +26,18 @@ def _quartic_roots(c4, c3, c2, c1, c0):
     return quartic_roots(c4, c3, c2, c1, c0)
 
 
-def absolute_orientation(world, cam):
+def absolute_orientation(world, cam, dtype=jnp.float64):
     """Rigid alignment world->camera minimizing ||R w + t - c|| (batched
     Umeyama without scale; reference: FitSpecialEuclideanOps / the SVD
     alignment inside P3P pose recovery).
 
     world, cam: [..., N, 3].  Returns (R [..., 3, 3], t [..., 3]).
+    ``dtype=jnp.float32`` halves the cost of the QDWH SVD sweeps on TPU —
+    used for RANSAC hypothesis generation where the winner is re-refined
+    in f64 anyway.
     """
-    world = world.astype(jnp.float64)
-    cam = cam.astype(jnp.float64)
+    world = world.astype(dtype)
+    cam = cam.astype(dtype)
     wm = jnp.mean(world, axis=-2, keepdims=True)
     cm = jnp.mean(cam, axis=-2, keepdims=True)
     W = jnp.swapaxes(world - wm, -1, -2) @ (cam - cm)  # [..., 3, 3]
@@ -120,8 +123,8 @@ def p3p_grunert(world, obs):
     cam3 = s3[..., None] * f3[..., None, :]
     cam = jnp.stack([cam1, cam2, cam3], axis=-2)  # [..., 4, 3pts, 3]
     worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
-    R, t = absolute_orientation(worldr, cam)
-    return R, t, ok
+    R, t = absolute_orientation(worldr, cam, dtype=jnp.float32)
+    return R.astype(jnp.float64), t.astype(jnp.float64), ok
 
 
 def pnp_dlt(world, obs):
@@ -196,8 +199,9 @@ def refine_pnp(R, t, world, obs, iterations: int = 10, damping: float = 1e-8):
         r = residual(xi0, R0, t0)
         H = J.T @ J + damping * jnp.eye(6, dtype=jnp.float64)
         g = J.T @ r
-        from boofcv_tpu.geo.smalllinalg import solve_spd
-        dx = -solve_spd(H, g)
+        L6 = jnp.linalg.cholesky(H)
+        y6 = jax.scipy.linalg.solve_triangular(L6, g, lower=True)
+        dx = -jax.scipy.linalg.solve_triangular(L6.T, y6, lower=False)
         dR, dt = se3.exp_se3(dx)
         Rn, tn = se3.compose(dR, dt, R0, t0)
         return Rn, tn

@@ -276,8 +276,10 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
         J = jax.jacfwd(residual)(xi0, R0, t0)
         r = residual(xi0, R0, t0)
         H = J.T @ J + 1e-9 * jnp.eye(6, dtype=jnp.float64)
-        from boofcv_tpu.geo.smalllinalg import solve_spd
-        dx = -solve_spd(H, J.T @ r)
+        g6 = J.T @ r
+        L6 = jnp.linalg.cholesky(H)
+        y6 = jax.scipy.linalg.solve_triangular(L6, g6, lower=True)
+        dx = -jax.scipy.linalg.solve_triangular(L6.T, y6, lower=False)
         dR, dt = _se3.exp_se3(dx)
         return _se3.compose(dR, dt, R0, t0)
 
