@@ -173,7 +173,10 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
     XLA stage loop elsewhere.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # TODO(round 2): flip to auto-on once the Mosaic lowering of the
+        # fused kernel is fixed (hits a Python recursion limit in the
+        # remote-compile client at 480x640 today); opt-in meanwhile.
+        use_pallas = False
     n = ys.shape[0]
     fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
     num_levels = len(scales)

@@ -30,6 +30,7 @@ def _klt_level_kernel(image_ref, desc_ref, gx_ref, gy_ref, cy_ref, cx_ref,
                       out_cy_ref, out_cx_ref, out_err_ref, out_det_ref,
                       *, radius: int, iterations: int, height: int,
                       width: int):
+    # per-track scalars live in [TRACK_BLOCK, 1] refs (TPU wants >=2D)
     p = 2 * radius + 1
     nb = desc_ref.shape[0]
 
@@ -69,15 +70,15 @@ def _klt_level_kernel(image_ref, desc_ref, gx_ref, gy_ref, cy_ref, cx_ref,
             dy = (gxx * by - gxy * bx) / safe_det
             return cy - dy, cx - dx
 
-        cy0 = cy_ref[i]
-        cx0 = cx_ref[i]
+        cy0 = cy_ref[i, 0]
+        cx0 = cx_ref[i, 0]
         cy, cx = lax.fori_loop(0, iterations, gn_iter, (cy0, cx0))
         final = sample(cy, cx)
         per_pixel = jnp.mean(jnp.abs(final - d))
-        out_cy_ref[i] = cy
-        out_cx_ref[i] = cx
-        out_err_ref[i] = per_pixel
-        out_det_ref[i] = det
+        out_cy_ref[i, 0] = cy
+        out_cx_ref[i, 0] = cx
+        out_err_ref[i, 0] = per_pixel
+        out_det_ref[i, 0] = det
         return 0
 
     lax.fori_loop(0, nb, track_body, 0)
@@ -113,28 +114,28 @@ def klt_level_pallas(image, desc, gx, gy, cy, cx, *, radius: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TRACK_BLOCK, p, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRACK_BLOCK,), lambda i: (i,),
+            pl.BlockSpec((TRACK_BLOCK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRACK_BLOCK,), lambda i: (i,),
+            pl.BlockSpec((TRACK_BLOCK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TRACK_BLOCK,), lambda i: (i,),
+            pl.BlockSpec((TRACK_BLOCK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRACK_BLOCK,), lambda i: (i,),
+            pl.BlockSpec((TRACK_BLOCK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRACK_BLOCK,), lambda i: (i,),
+            pl.BlockSpec((TRACK_BLOCK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRACK_BLOCK,), lambda i: (i,),
+            pl.BlockSpec((TRACK_BLOCK, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nt,), jnp.float32),
-            jax.ShapeDtypeStruct((nt,), jnp.float32),
-            jax.ShapeDtypeStruct((nt,), jnp.float32),
-            jax.ShapeDtypeStruct((nt,), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1), jnp.float32),
         ],
         interpret=interpret,
     )(image.astype(jnp.float32), desc, gx, gy,
-      cy.astype(jnp.float32), cx.astype(jnp.float32))
-    return out_cy[:n], out_cx[:n], out_err[:n], out_det[:n]
+      cy.astype(jnp.float32)[:, None], cx.astype(jnp.float32)[:, None])
+    return (out_cy[:n, 0], out_cx[:n, 0], out_err[:n, 0], out_det[:n, 0])
