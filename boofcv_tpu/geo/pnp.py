@@ -28,24 +28,45 @@ def _quartic_roots(c4, c3, c2, c1, c0):
 
 def absolute_orientation(world, cam, dtype=jnp.float64):
     """Rigid alignment world->camera minimizing ||R w + t - c|| (batched
-    Umeyama without scale; reference: FitSpecialEuclideanOps / the SVD
+    Horn quaternion method; reference: FitSpecialEuclideanOps / the
     alignment inside P3P pose recovery).
 
     world, cam: [..., N, 3].  Returns (R [..., 3, 3], t [..., 3]).
-    ``dtype=jnp.float32`` halves the cost of the QDWH SVD sweeps on TPU —
-    used for RANSAC hypothesis generation where the winner is re-refined
-    in f64 anyway.
+    Uses eigh of the 4x4 quaternion matrix rather than SVD — eigh is
+    implemented on TPU for every float dtype (f32 SVD crashes the TPU
+    compiler), and ``dtype=jnp.float32`` makes RANSAC hypothesis
+    generation cheap (the winner is re-refined in f64 anyway).
     """
     world = world.astype(dtype)
     cam = cam.astype(dtype)
     wm = jnp.mean(world, axis=-2, keepdims=True)
     cm = jnp.mean(cam, axis=-2, keepdims=True)
-    W = jnp.swapaxes(world - wm, -1, -2) @ (cam - cm)  # [..., 3, 3]
-    U, s, Vt = jnp.linalg.svd(W)
-    # R = V diag(1,1,det) U^T  (maps world->cam)
-    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = jnp.swapaxes(Vt, -1, -2) * D[..., None, :] @ jnp.swapaxes(U, -1, -2)
+    M = jnp.swapaxes(world - wm, -1, -2) @ (cam - cm)  # [..., 3, 3]
+    m = lambda i, j: M[..., i, j]
+    k0 = m(0, 0) + m(1, 1) + m(2, 2)
+    K4 = jnp.stack([
+        jnp.stack([k0, m(1, 2) - m(2, 1), m(2, 0) - m(0, 2),
+                   m(0, 1) - m(1, 0)], axis=-1),
+        jnp.stack([m(1, 2) - m(2, 1), m(0, 0) - m(1, 1) - m(2, 2),
+                   m(0, 1) + m(1, 0), m(0, 2) + m(2, 0)], axis=-1),
+        jnp.stack([m(2, 0) - m(0, 2), m(0, 1) + m(1, 0),
+                   -m(0, 0) + m(1, 1) - m(2, 2), m(1, 2) + m(2, 1)],
+                  axis=-1),
+        jnp.stack([m(0, 1) - m(1, 0), m(0, 2) + m(2, 0),
+                   m(1, 2) + m(2, 1), -m(0, 0) - m(1, 1) + m(2, 2)],
+                  axis=-1),
+    ], axis=-2)
+    _, vecs = jnp.linalg.eigh(K4)
+    q = vecs[..., :, -1]                     # max eigenvalue -> quaternion
+    w_, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w_),
+                   2 * (x * z + y * w_)], axis=-1),
+        jnp.stack([2 * (x * y + z * w_), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w_)], axis=-1),
+        jnp.stack([2 * (x * z - y * w_), 2 * (y * z + x * w_),
+                   1 - 2 * (x * x + y * y)], axis=-1),
+    ], axis=-2)
     t = cm[..., 0, :] - (R @ wm[..., 0, :, None])[..., 0]
     return R, t
 
