@@ -85,3 +85,54 @@ def test_mls_similarity_identity():
     pts = np.array([[4.0, 4.0], [25.0, 4.0], [4.0, 25.0], [25.0, 25.0]])
     out = np.asarray(mls.deform(img, pts, pts, kind="similarity"))
     np.testing.assert_allclose(out[4:-4, 4:-4], img[4:-4, 4:-4], atol=1e-3)
+
+
+def test_steerable_first_derivative():
+    from boofcv_tpu.ip import steerable
+    # steered 0deg = Gx basis; 90deg = Gy basis
+    gx = steerable.gaussian_basis_2d(1, 0, 1.2, 4)
+    g0 = steerable.steer_first_derivative(0.0, 1.2, 4)
+    g90 = steerable.steer_first_derivative(np.pi / 2, 1.2, 4)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(gx), atol=1e-6)
+    gy = steerable.gaussian_basis_2d(0, 1, 1.2, 4)
+    np.testing.assert_allclose(np.asarray(g90), np.asarray(gy), atol=1e-6)
+
+
+def test_gray_ops():
+    from boofcv_tpu.ip import gray_ops
+    img = np.array([[0.0, 100.0, 250.0]])
+    np.testing.assert_allclose(np.asarray(gray_ops.brighten(img, 10)),
+                               [[10, 110, 255]])
+    np.testing.assert_allclose(np.asarray(gray_ops.invert(img)),
+                               [[255, 155, 5]])
+    np.testing.assert_allclose(np.asarray(gray_ops.stretch(img, 2.0, 5.0)),
+                               [[5, 205, 255]])
+
+
+def test_cloud_utils():
+    from boofcv_tpu.geo import cloud
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 1, (200, 3))
+    pts[0] = [50.0, 0, 0]  # outlier
+    keep = np.asarray(cloud.filter_radius_outliers(pts, 8, 2.0))
+    assert not keep[0] and keep[1:].mean() > 0.95
+    idx, d = cloud.nearest_neighbors(pts[:5], pts, k=1)
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(5))
+    stats = cloud.statistics(pts)
+    assert abs(float(stats["mean"][1])) < 0.2
+    ds = cloud.downsample_voxel(pts, 0.5)
+    assert len(ds) < len(pts)
+
+
+def test_orientation_estimators():
+    from boofcv_tpu.feature import orientation
+    import jax.numpy as jnp
+    # image with a pure-x gradient: orientation should be ~0
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = (xx * 3.0).astype(np.float32)
+    ys = jnp.asarray([32.0, 20.0]); xs = jnp.asarray([32.0, 40.0])
+    for fn in (orientation.average, orientation.histogram,
+               orientation.sliding_window):
+        ang = np.asarray(fn(img, ys, xs))
+        err = np.abs((ang + np.pi) % (2 * np.pi) - np.pi)
+        assert (err < 0.15).all(), (fn.__name__, ang)
