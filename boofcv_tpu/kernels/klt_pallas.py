@@ -63,7 +63,10 @@ def _klt_track_kernel(image_ref, desc_ref, gx_ref, gy_ref, cy_ref, cx_ref,
         dy = (gxx * by - gxy * bx) / safe_det
         return cy - dy, cx - dx
 
-    cy, cx = lax.fori_loop(0, iterations, gn_iter,
+    # NOTE: with jax_enable_x64 the default fori_loop induction variable
+    # is int64, and any i64 value sends Mosaic's convert-element-type
+    # lowering into infinite recursion — force i32 bounds.
+    cy, cx = lax.fori_loop(jnp.int32(0), jnp.int32(iterations), gn_iter,
                            (cy_ref[0, i], cx_ref[0, i]))
     final = sample(cy, cx)
     out_cy_ref[0, i] = cy
