@@ -86,13 +86,19 @@ def klt_level_pallas(image, desc, gx, gy, cy, cx, *, radius: int,
     kernel = functools.partial(
         _klt_track_kernel, radius=radius, iterations=iterations,
         height=h, width=w)
-    # per-track scalars are carried as full (1, N) blocks (Pallas block
-    # shapes must tile by (8, 128) or equal the array dims); each program
-    # reads/writes its own column via program_id
+    # per-track scalars are carried as full (1, N) SMEM blocks (scalar
+    # loads/stores are an SMEM feature; Pallas block shapes must tile by
+    # (8, 128) or equal the array dims); each program addresses its own
+    # column via program_id
     scalar_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)
+                               memory_space=pltpu.SMEM)
     patch_spec = pl.BlockSpec((1, p, p), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
+    # The global jax_enable_x64 flag (geometry policy) must not leak into
+    # the kernel trace: any 64-bit value sends Mosaic's convert-element-
+    # type lowering into infinite recursion (i64->i32 re-dispatches itself).
+    x64_off = jax.enable_x64(False)
+    x64_off.__enter__()
     out_cy, out_cx, out_err, out_det = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -112,4 +118,5 @@ def klt_level_pallas(image, desc, gx, gy, cy, cx, *, radius: int,
         interpret=interpret,
     )(image.astype(jnp.float32), desc, gx, gy,
       cy.astype(jnp.float32)[None, :], cx.astype(jnp.float32)[None, :])
+    x64_off.__exit__(None, None, None)
     return (out_cy[0], out_cx[0], out_err[0], out_det[0])
