@@ -96,12 +96,16 @@ def detect(ii: jnp.ndarray, max_features: int,
     dy = (center_val(si, yi + 1, xi) - center_val(si, yi - 1, xi)) * 0.5
     dxx = center_val(si, yi, xi + 1) - 2 * v + center_val(si, yi, xi - 1)
     dyy = center_val(si, yi + 1, xi) - 2 * v + center_val(si, yi - 1, xi)
-    ox = jnp.clip(jnp.where(dxx != 0, -dx / dxx, 0.0), -0.5, 0.5)
-    oy = jnp.clip(jnp.where(dyy != 0, -dy / dyy, 0.0), -0.5, 0.5)
+    # peaks bordering the -inf masked rim give non-finite derivatives; the
+    # reference skips subpixel there (checkMax fails) — emit offset 0
+    safe_div = lambda num, den: jnp.nan_to_num(
+        jnp.where(den != 0, -num / den, 0.0), nan=0.0, posinf=0.0, neginf=0.0)
+    ox = jnp.clip(safe_div(dx, dxx), -0.5, 0.5)
+    oy = jnp.clip(safe_div(dy, dyy), -0.5, 0.5)
 
     ds_ = (center_val(si + 1, yi, xi) - center_val(si - 1, yi, xi)) * 0.5
     dss = center_val(si + 1, yi, xi) - 2 * v + center_val(si - 1, yi, xi)
-    os_ = jnp.clip(jnp.where(dss != 0, -ds_ / dss, 0.0), -0.5, 0.5)
+    os_ = jnp.clip(safe_div(ds_, dss), -0.5, 0.5)
     size_step = sizes_arr[1] - sizes_arr[0] if n_s > 1 else 6.0
     size_interp = sizes_arr[jnp.clip(si, 0, n_s - 1)] + os_ * size_step
     scale = 1.2 * size_interp / 9.0

@@ -254,10 +254,12 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
                     inlier_threshold=inlier_threshold,
                     valid_mask=valid_mask, solutions_per_sample=4)
     R, t, _ = result.model
-    # weighted GN refine on inliers (mask via zero-weight residuals)
-    w64 = world.astype(jnp.float64)
-    o64 = obs.astype(jnp.float64)
+    # weighted GN refine on inliers (mask via zero-weight residuals).
+    # Masked rows must be FINITE: inf * 0 = NaN would poison the whole
+    # normal system, so zero them out rather than relying on the weight.
     mask = result.inliers
+    w64 = jnp.where(mask[:, None], world.astype(jnp.float64), 1.0)
+    o64 = jnp.where(mask[:, None], obs.astype(jnp.float64), 0.0)
 
     def residual(xi, R0, t0):
         from boofcv_tpu.geo import se3 as _se3
