@@ -99,3 +99,26 @@ def test_background_gmm():
     outside = seg.copy()
     outside[5:15, 10:20] = 0
     assert outside.mean() < 0.05
+
+
+def test_brox_warping_shift():
+    rng = np.random.default_rng(7)
+    i1, i2 = shifted_pair(rng, dy=3, dx=-2)
+    u, v = flow.brox_warping(jnp.asarray(i1), jnp.asarray(i2),
+                             scales=(1, 2, 4), outer_iterations=4,
+                             inner_iterations=40)
+    ui = np.asarray(u)[12:-12, 12:-12]
+    vi = np.asarray(v)[12:-12, 12:-12]
+    assert abs(np.median(ui) - 2) < 0.6, np.median(ui)
+    assert abs(np.median(vi) + 3) < 0.6, np.median(vi)
+
+
+def test_dense_klt_shift():
+    rng = np.random.default_rng(8)
+    i1, i2 = shifted_pair(rng, dy=2, dx=3)
+    u, v, ok = flow.dense_klt(jnp.asarray(i1), jnp.asarray(i2),
+                              radius=3, scales=(1, 2, 4))
+    ui = np.asarray(u)[12:-12, 12:-12]
+    vi = np.asarray(v)[12:-12, 12:-12]
+    assert abs(np.median(ui) + 3) < 0.4, np.median(ui)
+    assert abs(np.median(vi) + 2) < 0.4, np.median(vi)
