@@ -1,0 +1,85 @@
+"""Square-grid and circle-grid calibration target detectors on rendered
+synthetic targets (reference test style: known geometry in, detected
+lattice out)."""
+
+import numpy as np
+
+from boofcv_tpu.recognition import calib_targets
+
+
+def render_square_grid(rows=3, cols=4, square=16, space=10, margin=24,
+                       h=220, w=260):
+    img = np.full((h, w), 220.0, np.float32)
+    for r in range(rows):
+        for c in range(cols):
+            y0 = margin + r * (square + space)
+            x0 = margin + c * (square + space)
+            img[y0:y0 + square, x0:x0 + square] = 20.0
+    return img
+
+
+def render_circles(centers, radius, h, w):
+    img = np.full((h, w), 220.0, np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for cy, cx in centers:
+        img[(ys - cy) ** 2 + (xs - cx) ** 2 <= radius * radius] = 20.0
+    return img
+
+
+def test_square_grid_detects_all_corners():
+    rows, cols, square, space, margin = 3, 4, 16, 10, 24
+    img = render_square_grid(rows, cols, square, space, margin)
+    pts = calib_targets.detect_square_grid(img, rows, cols)
+    assert pts is not None
+    assert pts.shape == (4 * rows * cols, 2)
+    # expected corner x coordinates along the first lattice row
+    xs_expected = []
+    for c in range(cols):
+        x0 = margin + c * (square + space)
+        xs_expected += [x0, x0 + square]
+    xs_expected = np.array(sorted(xs_expected), np.float64)
+    got = np.sort(pts[: 2 * cols, 0])
+    assert np.abs(got - xs_expected).max() < 2.0, (got, xs_expected)
+    # row-major ordering: consecutive lattice rows increase in y
+    row0_y = pts[: 2 * cols, 1].mean()
+    row1_y = pts[2 * cols: 4 * cols, 1].mean()
+    assert row1_y > row0_y
+
+
+def test_circle_regular_grid_centers():
+    rows, cols, pitch, r0 = 3, 4, 36, 9
+    centers = [(40 + r * pitch, 50 + c * pitch)
+               for r in range(rows) for c in range(cols)]
+    img = render_circles(centers, r0, 180, 220)
+    pts = calib_targets.detect_circle_regular_grid(img, rows, cols)
+    assert pts is not None
+    assert pts.shape == (rows * cols, 2)
+    exp = np.array([(x, y) for (y, x) in centers], np.float64)
+    # detector returns a deterministic but possibly rotated/flipped
+    # ordering; match as sets with per-point tolerance
+    d = np.linalg.norm(pts[:, None, :] - exp[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 1.5).all()
+    # and lattice ordering is row-major: first row shares ~constant y
+    assert np.ptp(pts[:cols, 1]) < 3.0
+
+
+def test_circle_hexagonal_grid_centers():
+    rows, cols, pitch, r0 = 4, 5, 40, 8
+    centers = []
+    for r in range(rows):
+        for c in range(cols):
+            if (r + c) % 2 == 0:
+                centers.append((40 + r * pitch * 0.55,
+                                40 + c * pitch * 0.5))
+    img = render_circles([(y, x) for y, x in centers], r0, 180, 200)
+    pts = calib_targets.detect_circle_hexagonal_grid(img, rows, cols)
+    assert pts is not None
+    assert pts.shape == (len(centers), 2)
+    exp = np.array([(x, y) for (y, x) in centers], np.float64)
+    d = np.linalg.norm(pts[:, None, :] - exp[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 1.5).all()
+
+
+def test_square_grid_rejects_wrong_count():
+    img = render_square_grid(2, 2)
+    assert calib_targets.detect_square_grid(img, 3, 4) is None
