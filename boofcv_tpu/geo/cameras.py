@@ -105,6 +105,45 @@ def pixel_to_norm_undistorted(cam: CameraPinholeBrown, px, py):
 
 
 @dataclass(frozen=True)
+class CameraUniversalOmni(CameraPinholeBrown):
+    """Unified omnidirectional (fisheye/catadioptric) model
+    (struct/calib/CameraUniversalOmni.java): 3D ray -> unit sphere ->
+    offset by ``mirror_offset`` along +z -> pinhole + Brown distortion.
+    mirror_offset = 0 reduces to pinhole; ~1 models ultra-wide FOV."""
+    mirror_offset: float = 0.0
+
+
+def omni_project(cam: CameraUniversalOmni, X):
+    """3D points in camera frame [..., 3] -> distorted pixels
+    (UniOmniPtoS inverse direction, alg/distort/universal/)."""
+    n = jnp.sqrt(jnp.sum(X * X, axis=-1))
+    n = jnp.where(n < 1e-12, 1.0, n)
+    sx = X[..., 0] / n
+    sy = X[..., 1] / n
+    sz = X[..., 2] / n + cam.mirror_offset
+    nx = sx / sz
+    ny = sy / sz
+    xd, yd = distort_norm(cam, nx, ny)
+    return norm_to_pixel(cam, xd, yd)
+
+
+def omni_pixel_to_unit(cam: CameraUniversalOmni, px, py,
+                       iterations: int = 20):
+    """Distorted pixel -> unit 3D ray (UniOmniStoP forward direction):
+    undistort to the normalized plane, then lift back through the unit
+    sphere with the closed-form UCM inverse."""
+    xd, yd = pixel_to_norm(cam, px, py)
+    nx, ny = undistort_norm(cam, xd, yd, iterations)
+    xi = cam.mirror_offset
+    r2 = nx * nx + ny * ny
+    f = (xi + jnp.sqrt(1.0 + (1.0 - xi * xi) * r2)) / (1.0 + r2)
+    sx = f * nx
+    sy = f * ny
+    sz = f - xi
+    return jnp.stack([sx, sy, sz], axis=-1)
+
+
+@dataclass(frozen=True)
 class StereoParameters:
     """Stereo rig (struct/calib/StereoParameters.java): right_to_left pose
     stored as rotation+translation of the LEFT camera seen FROM the right

@@ -181,6 +181,31 @@ def pnp_dlt(world, obs):
     return R, t
 
 
+def pnp_planar(world_xy, obs, refine_iterations: int = 10):
+    """Planar PnP (IPPE use-case, alg/geo/pose/IPPE_to_EstimatePnP /
+    Zhang99DecomposeHomography analog): pose from N>=4 coplanar points.
+
+    world_xy: [N, 2] plane coordinates (world z = 0); obs: [N, 2]
+    normalized image coords.  The plane->image homography H = [r1 r2 t]
+    is decomposed directly (no K: obs are normalized) and polished with
+    the same GN refine the reference's IPPE wrapper applies.  Returns
+    (R, t) camera-from-world.
+    """
+    from boofcv_tpu.geo.epipolar import homography_dlt
+    world_xy = world_xy.astype(jnp.float64)
+    obs = obs.astype(jnp.float64)
+    H = homography_dlt(world_xy, obs)
+    s = 1.0 / jnp.linalg.norm(H[:, 0])
+    s = jnp.where(H[2, 2] * s < 0, -s, s)   # points must sit in front
+    r1 = H[:, 0] * s
+    r2 = H[:, 1] * s
+    r3 = jnp.cross(r1, r2)
+    t = H[:, 2] * s
+    R = se3.project_to_so3(jnp.stack([r1, r2, r3], axis=1))
+    world3 = jnp.concatenate([world_xy, jnp.zeros_like(world_xy[:, :1])], 1)
+    return refine_pnp(R, t, world3, obs, iterations=refine_iterations)
+
+
 def reprojection_error_sq(R, t, world, obs):
     """Squared reprojection error in normalized image coords, batched.
 

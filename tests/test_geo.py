@@ -228,3 +228,47 @@ def test_lmeds_fundamental():
         solver, scorer, sample_size=8, num_hypotheses=256)
     inl = np.asarray(res.inliers)
     assert inl[10:].mean() > 0.9
+
+
+def test_omni_camera_roundtrip():
+    from boofcv_tpu.geo import cameras
+    cam = cameras.CameraUniversalOmni(
+        fx=300.0, fy=305.0, cx=320.0, cy=240.0, radial=(0.05, -0.01),
+        t1=1e-3, t2=-5e-4, mirror_offset=0.8)
+    rng = np.random.default_rng(4)
+    # rays over a wide FOV (including z near 0 — beyond pinhole range)
+    X = rng.uniform(-1, 1, (200, 3))
+    X[:, 2] = rng.uniform(0.15, 2.0, 200)
+    X = jnp.asarray(X)
+    px, py = cameras.omni_project(cam, X)
+    S = cameras.omni_pixel_to_unit(cam, px, py)
+    Xn = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
+    assert float(jnp.abs(S - Xn).max()) < 1e-6
+    # unit norm
+    assert float(jnp.abs(jnp.linalg.norm(S, axis=-1) - 1).max()) < 1e-9
+
+
+def test_omni_reduces_to_pinhole_at_zero_offset():
+    from boofcv_tpu.geo import cameras
+    base = dict(fx=300.0, fy=300.0, cx=320.0, cy=240.0)
+    omni = cameras.CameraUniversalOmni(**base, mirror_offset=0.0)
+    pin = cameras.CameraPinholeBrown(**base)
+    X = jnp.asarray([[0.2, -0.1, 2.0], [0.5, 0.4, 1.0]])
+    pxo, pyo = cameras.omni_project(omni, X)
+    pxp, pyp = cameras.project(pin, X)
+    assert float(jnp.abs(pxo - pxp).max()) < 1e-9
+    assert float(jnp.abs(pyo - pyp).max()) < 1e-9
+
+
+def test_pnp_planar_recovers_pose():
+    from boofcv_tpu.geo import pnp, se3
+    rng = np.random.default_rng(5)
+    world_xy = jnp.asarray(rng.uniform(-1, 1, (24, 2)))
+    Rgt = np.asarray(se3.exp_so3(jnp.asarray([0.2, -0.3, 0.1])))
+    tgt = np.array([0.1, -0.2, 3.0])
+    w3 = np.concatenate([np.asarray(world_xy), np.zeros((24, 1))], 1)
+    Xc = w3 @ Rgt.T + tgt
+    obs = jnp.asarray(Xc[:, :2] / Xc[:, 2:])
+    R, t = pnp.pnp_planar(world_xy, obs)
+    assert np.abs(np.asarray(R) - Rgt).max() < 1e-8
+    assert np.abs(np.asarray(t) - tgt).max() < 1e-8
