@@ -104,3 +104,136 @@ def line_pixels(rho, theta, shape_hw, thickness: float = 1.0):
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     d = np.abs((xs - cx) * np.cos(theta) + (ys - cy) * np.sin(theta) - rho)
     return d <= thickness
+
+
+class GridLineSegments(NamedTuple):
+    """Fixed-capacity per-region line segments (MatrixOfList analog)."""
+    x0: jnp.ndarray      # [R, L]
+    y0: jnp.ndarray
+    x1: jnp.ndarray
+    y1: jnp.ndarray
+    inliers: jnp.ndarray  # [R, L] inlier counts
+    valid: jnp.ndarray    # [R, L] bool
+
+
+def grid_ransac_lines(image, region_size: int = 32,
+                      edge_threshold: float = 30.0,
+                      max_lines_per_region: int = 2,
+                      edgels_per_region: int = 48,
+                      hypotheses: int = 64,
+                      inlier_tol: float = 1.0,
+                      min_inliers: int = 6,
+                      angle_tol: float = 0.35,
+                      key=None) -> GridLineSegments:
+    """Grid-RANSAC line-segment detector (GridRansacLineDetector.java:
+    Clarke-Carlsson-Zisserman edgel grouping).
+
+    The image is tiled into ``region_size`` squares; each region's top-K
+    gradient edgels feed a RANSAC 2-point line search whose inlier test
+    combines point-line distance with gradient-orthogonality (the
+    reference's Edgel pruning).  The find-remove-repeat loop runs
+    ``max_lines_per_region`` rounds.  ALL regions run as one vmapped
+    batch — there is no per-region host loop.
+    """
+    import jax
+    from jax import lax
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    img = jnp.asarray(image, jnp.float32)
+    from boofcv_tpu.ip.derivative import sobel
+    dx, dy = sobel(img)
+    mag = jnp.abs(dx) + jnp.abs(dy)
+    h, w = img.shape
+    rs = region_size
+    nry, nrx = h // rs, w // rs
+    nreg = nry * nrx
+    K = edgels_per_region
+
+    def crop(a):
+        return (a[: nry * rs, : nrx * rs]
+                .reshape(nry, rs, nrx, rs).transpose(0, 2, 1, 3)
+                .reshape(nreg, rs * rs))
+
+    mag_r = crop(mag)
+    dx_r = crop(dx)
+    dy_r = crop(dy)
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ys_r = crop(yy)
+    xs_r = crop(xx)
+
+    # top-K edgels per region
+    score = jnp.where(mag_r > edge_threshold, mag_r, -1.0)
+    top, idx = lax.top_k(score, K)                       # [R, K]
+    emask = top > 0
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    ex = take(xs_r)
+    ey = take(ys_r)
+    gx = take(dx_r)
+    gy = take(dy_r)
+    gn = jnp.sqrt(gx * gx + gy * gy)
+    gn = jnp.where(gn < 1e-9, 1.0, gn)
+    gx = gx / gn
+    gy = gy / gn
+
+    pair_idx = jax.random.randint(key, (nreg, hypotheses, 2), 0, K)
+
+    def region_lines(ex, ey, gx, gy, emask, pairs):
+        def find_one(carry, _):
+            active = carry
+            xa = ex[pairs[:, 0]]
+            ya = ey[pairs[:, 0]]
+            xb = ex[pairs[:, 1]]
+            yb = ey[pairs[:, 1]]
+            dxl = xb - xa
+            dyl = yb - ya
+            ln = jnp.sqrt(dxl * dxl + dyl * dyl)
+            ok_h = (ln > 1.0) & active[pairs[:, 0]] & active[pairs[:, 1]]
+            ln = jnp.where(ln < 1e-9, 1.0, ln)
+            ux = dxl / ln
+            uy = dyl / ln
+            # distance of every edgel to every hypothesis line [H, K]
+            relx = ex[None, :] - xa[:, None]
+            rely = ey[None, :] - ya[:, None]
+            dist = jnp.abs(relx * uy[:, None] - rely * ux[:, None])
+            # gradient must be orthogonal to the line direction
+            gdot = jnp.abs(gx[None, :] * ux[:, None]
+                           + gy[None, :] * uy[:, None])
+            is_in = ((dist <= inlier_tol) & (gdot <= angle_tol)
+                     & active[None, :] & ok_h[:, None])
+            counts = jnp.sum(is_in, axis=1)
+            best = jnp.argmax(counts)
+            inl = is_in[best]
+            n_in = counts[best]
+            # total-least-squares refit on inliers (centroid + PCA dir)
+            wgt = inl.astype(jnp.float32)
+            s = jnp.maximum(jnp.sum(wgt), 1.0)
+            mx = jnp.sum(ex * wgt) / s
+            my = jnp.sum(ey * wgt) / s
+            cxx = jnp.sum(wgt * (ex - mx) ** 2)
+            cxy = jnp.sum(wgt * (ex - mx) * (ey - my))
+            cyy = jnp.sum(wgt * (ey - my) ** 2)
+            ang = 0.5 * jnp.arctan2(2 * cxy, cxx - cyy)
+            ux_b = jnp.cos(ang)
+            uy_b = jnp.sin(ang)
+            # segment endpoints: extremes of inlier projections
+            proj = (ex - mx) * ux_b + (ey - my) * uy_b
+            pmin = jnp.min(jnp.where(inl, proj, jnp.inf))
+            pmax = jnp.max(jnp.where(inl, proj, -jnp.inf))
+            good = n_in >= min_inliers
+            pmin = jnp.where(good, pmin, 0.0)
+            pmax = jnp.where(good, pmax, 0.0)
+            seg = (mx + pmin * ux_b, my + pmin * uy_b,
+                   mx + pmax * ux_b, my + pmax * uy_b,
+                   n_in, good)
+            active = active & ~(inl & good)
+            return active, seg
+
+        active0 = emask
+        _, segs = lax.scan(find_one, active0, None,
+                           length=max_lines_per_region)
+        return segs
+
+    segs = jax.vmap(region_lines)(ex, ey, gx, gy, emask, pair_idx)
+    return GridLineSegments(*segs)

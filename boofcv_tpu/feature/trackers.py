@@ -164,3 +164,99 @@ def meanshift_track(state: MeanShiftState, image, iterations: int = 10):
         cy = jnp.sum(wgt * (cy + d[:, None])) / tot
         cx = jnp.sum(wgt * (cx + d[None, :])) / tot
     return state._replace(cy=cy, cx=cx)
+
+
+# ---------------------------------------------------------------------------
+# SFOT: sparse-flow object tracker
+# ---------------------------------------------------------------------------
+
+class SfotState(NamedTuple):
+    """Rotated-rectangle region (RectangleRotate_F64 analog)."""
+    cy: jnp.ndarray
+    cx: jnp.ndarray
+    height: jnp.ndarray
+    width: jnp.ndarray
+    yaw: jnp.ndarray
+
+
+def sfot_init(cy, cx, height, width, yaw=0.0) -> SfotState:
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    return SfotState(f(cy), f(cx), f(height), f(width), f(yaw))
+
+
+def _sfot_grid(state: SfotState, grid: int):
+    """Grid of sample points inside the rotated rectangle."""
+    u = (jnp.arange(grid, dtype=jnp.float32) + 0.5) / grid - 0.5
+    uy, ux = jnp.meshgrid(u * state.height, u * state.width, indexing="ij")
+    c, s = jnp.cos(state.yaw), jnp.sin(state.yaw)
+    xs = state.cx + c * ux.ravel() - s * uy.ravel()
+    ys = state.cy + s * ux.ravel() + c * uy.ravel()
+    return ys, xs
+
+
+def sfot_track(prev_image, image, state: SfotState, grid: int = 9,
+               scales=(1, 2, 4), template_radius: int = 3,
+               min_tracks: int = 8):
+    """Sparse-flow object tracking step (alg/tracker/sfot/
+    SparseFlowObjectTracker.java): KLT a grid of points inside the region,
+    then update the rotated rectangle with MEDIAN statistics — median
+    translation, median pairwise distance ratio (scale), median pairwise
+    angle change (rotation) — the Median-Flow recipe the reference uses.
+
+    All points track as one batched pyramidal GN; the O(K^2) pairwise
+    medians are tiny fixed-shape reductions.  Returns (state, ok).
+    """
+    from boofcv_tpu.core.pyramid import PyramidConfig
+    from boofcv_tpu.ip import pyramid_ops
+    from boofcv_tpu.feature import klt
+
+    cfgp = PyramidConfig(scales=tuple(scales))
+    p_prev = pyramid_ops.pyramid_average(
+        jnp.asarray(prev_image, jnp.float32), cfgp)
+    p_cur = pyramid_ops.pyramid_average(
+        jnp.asarray(image, jnp.float32), cfgp)
+    grads = pyramid_ops.gradient(p_prev)
+    ys, xs = _sfot_grid(state, grid)
+    cfg = klt.KltConfig(template_radius=template_radius)
+    tmpl = klt.sample_templates(p_prev, grads, ys, xs, scales,
+                                template_radius)
+    nys, nxs, fault = klt.track_pyramid(p_cur, tmpl, ys, xs, scales, cfg)
+    ok = fault == klt.TRACK_OK
+    n_ok = jnp.sum(ok)
+
+    def masked_median(v, m):
+        big = jnp.float32(3.4e38)
+        s = jnp.sort(jnp.where(m, v, big))
+        k = jnp.maximum(jnp.sum(m) - 1, 0)
+        lo = s[k // 2]
+        hi = s[(k + 1) // 2]
+        return 0.5 * (lo + hi)
+
+    dty = masked_median(nys - ys, ok)
+    dtx = masked_median(nxs - xs, ok)
+
+    # pairwise scale + rotation medians over valid pairs
+    pdx0 = xs[:, None] - xs[None, :]
+    pdy0 = ys[:, None] - ys[None, :]
+    pdx1 = nxs[:, None] - nxs[None, :]
+    pdy1 = nys[:, None] - nys[None, :]
+    k2 = grid * grid
+    iu = jnp.triu_indices(k2, k=1)
+    pm = (ok[:, None] & ok[None, :])[iu]
+    d0 = jnp.sqrt(pdx0[iu] ** 2 + pdy0[iu] ** 2)
+    d1 = jnp.sqrt(pdx1[iu] ** 2 + pdy1[iu] ** 2)
+    pm = pm & (d0 > 2.0)
+    ratio = jnp.where(d0 > 1e-6, d1 / jnp.maximum(d0, 1e-6), 1.0)
+    scale = masked_median(ratio, pm)
+    dang = jnp.arctan2(pdy1[iu], pdx1[iu]) - jnp.arctan2(pdy0[iu], pdx0[iu])
+    dang = jnp.arctan2(jnp.sin(dang), jnp.cos(dang))   # wrap to [-pi, pi]
+    drot = masked_median(dang, pm)
+
+    good = n_ok >= min_tracks
+    new = SfotState(
+        cy=jnp.where(good, state.cy + dty, state.cy),
+        cx=jnp.where(good, state.cx + dtx, state.cx),
+        height=jnp.where(good, state.height * scale, state.height),
+        width=jnp.where(good, state.width * scale, state.width),
+        yaw=jnp.where(good, state.yaw + drot, state.yaw))
+    return new, good

@@ -54,3 +54,34 @@ def test_stitcher_translating_camera():
     m = st.image()
     err = np.abs(m[30:90, 30:150] - big[30:90, 30:150])
     assert np.median(err) < 4.0
+
+
+def test_grid_ransac_lines_finds_edges():
+    from boofcv_tpu.feature.lines import grid_ransac_lines
+    # a bright rectangle: its 4 edges produce strong straight gradients
+    img = np.zeros((96, 128), np.float32)
+    img[24:72, 32:96] = 200.0
+    segs = grid_ransac_lines(jnp.asarray(img), region_size=32,
+                             edge_threshold=50.0, min_inliers=8)
+    v = np.asarray(segs.valid)
+    assert v.sum() >= 4
+    x0 = np.asarray(segs.x0)[v]
+    y0 = np.asarray(segs.y0)[v]
+    x1 = np.asarray(segs.x1)[v]
+    y1 = np.asarray(segs.y1)[v]
+    # every found segment hugs one of the rectangle's edge lines
+    for a, b, c, d in zip(x0, y0, x1, y1):
+        horizontal = abs(d - b) < 1.5
+        vertical = abs(c - a) < 1.5
+        assert horizontal or vertical, (a, b, c, d)
+        if horizontal:
+            assert min(abs(b - 23.5), abs(b - 71.5)) < 1.5, b
+        else:
+            assert min(abs(a - 31.5), abs(a - 95.5)) < 1.5, a
+
+
+def test_grid_ransac_lines_empty_image():
+    from boofcv_tpu.feature.lines import grid_ransac_lines
+    img = np.full((64, 64), 100.0, np.float32)
+    segs = grid_ransac_lines(jnp.asarray(img), region_size=32)
+    assert not np.asarray(segs.valid).any()

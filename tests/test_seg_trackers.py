@@ -138,3 +138,23 @@ def test_point_tracker_dda_interface():
                if abs((tr.x - before[tr.uid].x) + 7) < 2.0
                and abs((tr.y - before[tr.uid].y) + 5) < 2.0)
     assert good >= 0.9 * len(after)  # weak spurious blobs may mismatch
+
+
+def test_sfot_tracks_translation_and_scale():
+    from boofcv_tpu.feature import trackers
+    rng = np.random.default_rng(11)
+    big = rng.uniform(0, 255, (140, 160)).astype(np.float32)
+    k = np.array([0.25, 0.5, 0.25])
+    big = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, big)
+    big = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, big)
+    dy, dx = 3, -4
+    i1 = big[20:120, 20:140]
+    i2 = big[20 + dy:120 + dy, 20 + dx:140 + dx]
+    st = trackers.sfot_init(50.0, 60.0, 40.0, 50.0)
+    st2, ok = trackers.sfot_track(jnp.asarray(i1), jnp.asarray(i2), st)
+    assert bool(ok)
+    # content shifted by (dy,dx) means the tracked object moves (-dy,-dx)
+    assert abs(float(st2.cy) - (50.0 - dy)) < 0.5
+    assert abs(float(st2.cx) - (60.0 - dx)) < 0.5
+    assert abs(float(st2.width) / 50.0 - 1.0) < 0.05
+    assert abs(float(st2.yaw)) < 0.03
