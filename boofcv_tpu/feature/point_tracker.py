@@ -197,3 +197,110 @@ class PointTrackerDda(PointTracker):
     def active_tracks(self) -> list:
         return [Track(int(self.uid[i]), float(self.xs[i]), float(self.ys[i]))
                 for i in np.nonzero(self.alive)[0]]
+
+
+class PointTrackerCombined(PointTrackerKlt):
+    """KLT + detect-describe re-association hybrid
+    (CombinedTrackerScalePoint analog): KLT drives frame-to-frame motion;
+    tracks the KLT drops are re-acquired by matching their spawn-time
+    SURF descriptors against the current frame's detections."""
+
+    def __init__(self, max_tracks: int = 400, scales=(1, 2, 4),
+                 template_radius: int = 3, detect_radius: int = 5,
+                 reassociate_error: float = 0.35):
+        super().__init__(max_tracks, scales, template_radius, detect_radius)
+        self.desc = np.zeros((max_tracks, 64), np.float32)
+        self.has_desc = np.zeros(max_tracks, bool)
+        self.max_error = reassociate_error
+
+    def process(self, image) -> None:
+        was_alive = np.asarray(self.alive).copy()
+        super().process(image)
+        lost = was_alive & ~np.asarray(self.alive) & self.has_desc
+        if not lost.any():
+            return
+        # re-detection pass: describe the current frame, match lost tracks
+        img = self._pyr[0]
+        ii = ii_ops.transform(img)
+        det = fasthessian.detect_multi_octave(
+            ii, max_features_per_octave=self.n // 2)
+        ang = describe.orientation_average_haar(ii, det.ys, det.xs,
+                                                det.scales)
+        d = describe.surf(ii, det.ys, det.xs, det.scales, ang)
+        lost_idx = np.nonzero(lost)[0]
+        scores = associate.score_euclidean_sq(
+            jnp.asarray(self.desc[lost_idx]), d.astype(jnp.float32))
+        m = associate.associate_mutual(scores, valid_b=det.valid,
+                                       max_error=self.max_error ** 2)
+        mv = np.asarray(m.valid)
+        dst = np.asarray(m.dst)
+        dy = np.asarray(det.ys)
+        dx = np.asarray(det.xs)
+        xs = np.asarray(self.xs).copy()
+        ys = np.asarray(self.ys).copy()
+        alive = np.asarray(self.alive).copy()
+        recovered = False
+        for k, slot in enumerate(lost_idx):
+            if not mv[k]:
+                continue
+            xs[slot] = dx[dst[k]]
+            ys[slot] = dy[dst[k]]
+            alive[slot] = True
+            recovered = True
+        if recovered:
+            self.xs = jnp.asarray(xs)
+            self.ys = jnp.asarray(ys)
+            self.alive = jnp.asarray(alive)
+            grads = pyramid_ops.gradient(self._pyr)
+            self._tmpl = klt.sample_templates(
+                self._pyr, grads, self.ys, self.xs, self.scales,
+                self.cfg.template_radius)
+
+    def spawn(self) -> None:
+        """Spawn from Fast-Hessian detections so every track carries a
+        scale-consistent SURF descriptor for later re-association (the
+        reference's combined tracker spawns from its DDA detector too)."""
+        if self._pyr is None:
+            return
+        img = self._pyr[0]
+        ii = ii_ops.transform(img)
+        det = fasthessian.detect_multi_octave(
+            ii, max_features_per_octave=self.n // 2)
+        ang = describe.orientation_average_haar(ii, det.ys, det.xs,
+                                                det.scales)
+        d = np.asarray(describe.surf(ii, det.ys, det.xs, det.scales, ang),
+                       np.float32)
+        dy = np.asarray(det.ys)
+        dx = np.asarray(det.xs)
+        dv = np.asarray(det.valid)
+        xs = np.asarray(self.xs).copy()
+        ys = np.asarray(self.ys).copy()
+        alive = np.asarray(self.alive).copy()
+        h, w = img.shape
+        b = self.cfg.template_radius * self.scales[-1] + 2
+        dead = list(np.nonzero(~alive)[0])
+        live = np.nonzero(alive)[0]
+        for i in np.nonzero(dv)[0]:
+            if not dead:
+                break
+            if not (b <= dy[i] < h - b and b <= dx[i] < w - b):
+                continue
+            if live.size:
+                d2 = (xs[live] - dx[i]) ** 2 + (ys[live] - dy[i]) ** 2
+                if d2.min() < (2 * self.detect_radius) ** 2:
+                    continue
+            s = dead.pop(0)
+            xs[s] = dx[i]
+            ys[s] = dy[i]
+            alive[s] = True
+            self.desc[s] = d[i]
+            self.has_desc[s] = True
+            self.uid[s] = self._next_uid
+            self._next_uid += 1
+        self.xs = jnp.asarray(xs)
+        self.ys = jnp.asarray(ys)
+        self.alive = jnp.asarray(alive)
+        grads = pyramid_ops.gradient(self._pyr)
+        self._tmpl = klt.sample_templates(self._pyr, grads, self.ys,
+                                          self.xs, self.scales,
+                                          self.cfg.template_radius)

@@ -201,3 +201,60 @@ def test_png_filtered_decode(tmp_path):
         fo.write(image_io._png_chunk(b"IEND", b""))
     out = image_io.load(p)
     np.testing.assert_array_equal(out, arr.astype(np.float32))
+
+
+def test_mjpeg_roundtrip(tmp_path):
+    from boofcv_tpu.io import video
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (32, 48), dtype=np.uint8)
+              for _ in range(4)]
+    p = str(tmp_path / "seq.mjpeg")
+    video.write_mjpeg(p, frames, quality=95)
+    out = list(video.read_mjpeg(p))
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        assert b.shape[:2] == a.shape
+        assert np.abs(a.astype(float) - b.astype(float)).mean() < 6.0
+
+
+def test_image_sequence(tmp_path):
+    from boofcv_tpu.io import video, image_io
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        image_io.save(str(tmp_path / f"f{i:03d}.pgm"),
+                      rng.integers(0, 255, (10, 12)).astype(np.uint8))
+    seq = video.ImageSequence(str(tmp_path / "*.pgm"))
+    frames = list(seq)
+    assert len(seq) == 3 and len(frames) == 3
+    assert frames[0].shape == (10, 12)
+
+
+def test_checkpoint_ba_problem(tmp_path):
+    import jax.numpy as jnp
+    from boofcv_tpu.geo import ba
+    from boofcv_tpu.io import checkpoint
+    rng = np.random.default_rng(2)
+    prob = ba.make_problem(
+        R=np.stack([np.eye(3)] * 2), t=rng.normal(size=(2, 3)),
+        points=rng.normal(size=(5, 3)),
+        obs_xy=rng.normal(size=(5, 2, 2)),
+        obs_view=np.tile([0, 1], (5, 1)),
+        obs_valid=np.ones((5, 2), bool))
+    p = str(tmp_path / "ba.npz")
+    checkpoint.save_ba_problem(p, prob)
+    back = checkpoint.load_ba_problem(p)
+    assert back.model == prob.model
+    assert np.allclose(back.t, prob.t)
+    assert np.allclose(back.obs_xy, prob.obs_xy)
+    assert (np.asarray(back.fixed_views) == np.asarray(prob.fixed_views)).all()
+
+
+def test_checkpoint_trajectory(tmp_path):
+    from boofcv_tpu.io import checkpoint
+    rng = np.random.default_rng(3)
+    poses = [(np.eye(3), rng.normal(size=3)) for _ in range(4)]
+    p = str(tmp_path / "traj.npz")
+    checkpoint.save_trajectory(p, poses)
+    back, ids = checkpoint.load_trajectory(p)
+    assert len(back) == 4 and list(ids) == [0, 1, 2, 3]
+    assert np.allclose(back[2][1], poses[2][1])

@@ -158,3 +158,38 @@ def test_sfot_tracks_translation_and_scale():
     assert abs(float(st2.cx) - (60.0 - dx)) < 0.5
     assert abs(float(st2.width) / 50.0 - 1.0) < 0.05
     assert abs(float(st2.yaw)) < 0.03
+
+
+def test_point_tracker_combined_reacquires_after_jump():
+    from boofcv_tpu.feature.point_tracker import PointTrackerCombined
+    from boofcv_tpu.io.simulate import noise_texture
+    rng = np.random.default_rng(9)
+    # distinctive texture (identical synthetic blobs would make SURF
+    # descriptors ambiguous and re-association ill-posed by construction)
+    img = np.asarray(noise_texture(rng, size=256))[:200, :230]
+    t = PointTrackerCombined(max_tracks=60, scales=(1, 2))
+    t.process(img)
+    t.spawn()
+    before = {tr.uid: tr for tr in t.active_tracks()}
+    assert len(before) >= 8
+    # small KLT-trackable motion first
+    sm = np.zeros_like(img)
+    sm[:-2, :-1] = img[2:, 1:]
+    t.process(sm)
+    assert len(t.active_tracks()) >= 0.7 * len(before)
+    # now a jump FAR beyond KLT range: pure KLT would lose everything,
+    # the descriptor re-association recovers tracks at the new positions
+    big = np.zeros_like(img)
+    big[:-25, :-30] = img[25:, 30:]
+    t.process(big)
+    after = {tr.uid: tr for tr in t.active_tracks()}
+    recovered = [u for u in after if u in before]
+    assert len(recovered) >= 5, len(recovered)
+    # content motion vs the ORIGINAL frame is (-25, -30); descriptor
+    # re-association on self-similar texture is inherently ambiguous, so
+    # require a majority correct (downstream RANSAC removes the rest,
+    # exactly as the reference's combined tracker relies on)
+    good = sum(1 for u in recovered
+               if abs((after[u].x - before[u].x) + 30) < 3.0
+               and abs((after[u].y - before[u].y) + 25) < 3.0)
+    assert good >= 0.6 * len(recovered), (good, len(recovered))
