@@ -64,3 +64,69 @@ def test_tld_redetects_after_jump():
         ok, box = t.process(frame)
         assert ok
         assert abs(box[0] - cy) < 6 and abs(box[1] - cx) < 6, (box, cy, cx)
+
+
+def test_deepboof_vgg_forward_and_overfit():
+    import jax
+    import jax.numpy as jnp
+    from boofcv_tpu.recognition import deepboof
+    key = jax.random.PRNGKey(0)
+    params = deepboof.init_vgg_cifar10(key)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    logits = deepboof.vgg_cifar10_forward(params, x)
+    assert logits.shape == (4, 10)
+    # trainability smoke test: a few SGD steps must drive the loss down
+    y = jnp.asarray([0, 1, 2, 3])
+
+    def loss_fn(p):
+        lg = deepboof.vgg_cifar10_forward(p, x)
+        return -jnp.mean(jax.nn.log_softmax(lg)[jnp.arange(4), y])
+
+    l0 = float(loss_fn(params))
+    g = jax.jit(jax.grad(loss_fn))
+    for _ in range(12):
+        grads = g(params)
+        params = {k: params[k] - 0.003 * grads[k] for k in params}
+    l1 = float(loss_fn(params))
+    assert l1 < l0 * 0.8, (l0, l1)
+
+
+def test_deepboof_classifier_wrapper(tmp_path):
+    import numpy as np
+    from boofcv_tpu.recognition import deepboof
+    clf = deepboof.ImageClassifierVggCifar10()
+    img = np.random.default_rng(0).uniform(0, 255, (32, 32, 3))
+    s = clf.scores(img)
+    assert s.shape == (1, 10)
+    assert abs(s.sum() - 1.0) < 1e-5
+    c = clf.classify(img)
+    assert 0 <= c < 10
+    # params round-trip
+    p = str(tmp_path / "w.npz")
+    deepboof.save_params(p, clf.params)
+    clf2 = deepboof.ImageClassifierVggCifar10(deepboof.load_params(p))
+    assert clf2.classify(img) == c
+
+
+def test_deepboof_nin_forward():
+    import jax
+    from boofcv_tpu.recognition import deepboof
+    params = deepboof.init_nin(jax.random.PRNGKey(2), num_classes=12,
+                               channels=(16, 24, 32))
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    logits = deepboof.nin_forward(params, x, channels=(16, 24, 32))
+    assert logits.shape == (2, 12)
+
+
+def test_profiling_utils():
+    import numpy as np
+    from boofcv_tpu.utils.profiling import MovingAverage, StageTimer
+    ma = MovingAverage(0.9)
+    ma.update(10.0)
+    v = ma.update(20.0)
+    assert abs(v - 11.0) < 1e-9
+    t = StageTimer()
+    with t.stage("a"):
+        _ = np.zeros(10)
+    rep = t.report()
+    assert "a" in rep and rep["a"] >= 0.0
