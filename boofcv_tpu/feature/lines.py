@@ -237,3 +237,67 @@ def grid_ransac_lines(image, region_size: int = 32,
 
     segs = jax.vmap(region_lines)(ex, ey, gx, gy, emask, pair_idx)
     return GridLineSegments(*segs)
+
+
+class FootLines(NamedTuple):
+    """Foot-of-norm parameterized lines: the closest point of each line
+    to the image center IS the parameter (LineParametric via foot)."""
+    fx: jnp.ndarray      # [K] foot x (absolute pixels)
+    fy: jnp.ndarray      # [K]
+    score: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def hough_foot(image, max_lines: int = 10, min_distance: int = 5,
+               edge_threshold: float = 30.0, peak_radius: int = 2,
+               threshold_frac: float = 0.3) -> FootLines:
+    """Gradient Hough with the foot-of-norm parameterization
+    (HoughTransformGradient + HoughParametersFootOfNorm): every edge
+    pixel votes for the foot of the perpendicular dropped from the image
+    center onto the line through that pixel with normal = gradient.
+
+    The accumulator is image-shaped; votes are one scatter-add.
+    """
+    from boofcv_tpu.ip.derivative import sobel
+    img = jnp.asarray(image, jnp.float32)
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    dx, dy = sobel(img)
+    mag = jnp.abs(dx) + jnp.abs(dy)
+    sel = mag > edge_threshold
+    gn = jnp.sqrt(dx * dx + dy * dy)
+    gn = jnp.where(gn < 1e-9, 1.0, gn)
+    ux = dx / gn
+    uy = dy / gn
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    d = (xs - cx) * ux + (ys - cy) * uy          # signed normal distance
+    fx = cx + d * ux
+    fy = cy + d * uy
+    # reject feet too close to the center (direction is ill-defined there,
+    # as the reference's minDistanceFromOrigin does)
+    sel &= d * d > float(min_distance) ** 2
+    fxi = jnp.clip(jnp.round(fx), 0, w - 1).astype(jnp.int32)
+    fyi = jnp.clip(jnp.round(fy), 0, h - 1).astype(jnp.int32)
+    flat = jnp.where(sel, fyi * w + fxi, 0)
+    votes = jnp.zeros((h * w,), jnp.float32).at[flat.ravel()].add(
+        sel.ravel().astype(jnp.float32))
+    votes = votes.at[0].set(0.0)
+    acc = votes.reshape(h, w)
+    det = extract.detect(acc, max_features=max_lines, radius=peak_radius,
+                         threshold=threshold_frac * float(jnp.max(acc)),
+                         border=0)
+    return FootLines(det.xs.astype(jnp.float32), det.ys.astype(jnp.float32),
+                     det.scores, det.valid)
+
+
+def foot_to_polar(foot: FootLines, shape_hw):
+    """Foot point -> (rho, theta) about the image center (interop with
+    the polar representation used by hough_binary/hough_gradient)."""
+    h, w = shape_hw
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    dx = foot.fx - cx
+    dy = foot.fy - cy
+    rho = jnp.sqrt(dx * dx + dy * dy)
+    theta = jnp.arctan2(dy, dx)
+    return rho, theta

@@ -135,3 +135,38 @@ def rgb_to_lab(rgb_unit: jnp.ndarray):
 
 def lab_to_rgb(lab: jnp.ndarray):
     return xyz_to_rgb(lab_to_xyz(lab))
+
+
+def yuv420_to_rgb(y_plane, u_plane, v_plane):
+    """Planar YUV 4:2:0 (e.g. Android Yuv420_888) -> RGB u8-range f32.
+
+    Reference analog: boofcv-ip core/encoding/ConvertYuv420_888.java.
+    y_plane: [H, W]; u/v planes: [H//2, W//2] (one chroma sample per 2x2
+    luma block).  Uses the JPEG/Android full-range BT.601 coefficients the
+    reference's NV21/YUV420 decoders use.
+    """
+    y = jnp.asarray(y_plane, jnp.float32)
+    u = jnp.asarray(u_plane, jnp.float32) - 128.0
+    v = jnp.asarray(v_plane, jnp.float32) - 128.0
+    # upsample chroma 2x (nearest, as the reference's integer decoder)
+    u = jnp.repeat(jnp.repeat(u, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+    v = jnp.repeat(jnp.repeat(v, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+    r = y + 1.402 * v
+    g = y - 0.34414 * u - 0.71414 * v
+    b = y + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], -1), 0.0, 255.0)
+
+
+def rgb_to_yuv420(rgb):
+    """RGB -> planar YUV 4:2:0 (2x2-averaged chroma), inverse of
+    :func:`yuv420_to_rgb`."""
+    rgb = jnp.asarray(rgb, jnp.float32)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.1687 * r - 0.3313 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.4187 * g - 0.0813 * b + 128.0
+    h, w = y.shape
+    h2, w2 = h - h % 2, w - w % 2
+    du = u[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+    dv = v[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+    return y, du, dv

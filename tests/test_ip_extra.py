@@ -136,3 +136,66 @@ def test_orientation_estimators():
         ang = np.asarray(fn(img, ys, xs))
         err = np.abs((ang + np.pi) % (2 * np.pi) - np.pi)
         assert (err < 0.15).all(), (fn.__name__, ang)
+
+
+def test_yuv420_roundtrip():
+    from boofcv_tpu.ip import color
+    # constant-chroma image: 4:2:0 subsampling is lossless, so the
+    # coefficient pair must round-trip exactly (up to f32)
+    ramp = np.linspace(40, 200, 32 * 40).reshape(32, 40).astype(np.float32)
+    rgb = np.stack([ramp, 0.8 * ramp + 20, 0.5 * ramp + 60], -1)
+    y, u, v = color.rgb_to_yuv420(jnp.asarray(rgb))
+    assert y.shape == (32, 40) and u.shape == (16, 20)
+    back = np.asarray(color.yuv420_to_rgb(y, u, v))
+    # chroma varies slowly along the ramp -> tiny subsampling loss only
+    assert np.abs(back - rgb).mean() < 0.5
+    # luma channel is exact regardless of chroma content
+    y2, _, _ = color.rgb_to_yuv420(jnp.asarray(back))
+    assert np.abs(np.asarray(y2) - np.asarray(y)).max() < 0.2
+
+
+def test_hough_foot_detects_lines():
+    from boofcv_tpu.feature import lines
+    img = np.zeros((96, 96), np.float32)
+    img[30, :] = 200.0  # horizontal bright line at y=30
+    img[:, 70] = 200.0  # vertical at x=70
+    det = lines.hough_foot(jnp.asarray(img), max_lines=4,
+                           edge_threshold=50.0)
+    v = np.asarray(det.valid)
+    fx = np.asarray(det.fx)[v]
+    fy = np.asarray(det.fy)[v]
+    # foot of the horizontal line: (cx, 30); vertical: (70, cy)
+    assert any(abs(b - 30) <= 2 and abs(a - 47.5) <= 2
+               for a, b in zip(fx, fy)), (fx, fy)
+    assert any(abs(a - 70) <= 2 and abs(b - 47.5) <= 2
+               for a, b in zip(fx, fy)), (fx, fy)
+
+
+def test_visualize_smoke(tmp_path):
+    from boofcv_tpu.io import visualize
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (40, 50))
+    visualize.save_features(str(tmp_path / "f.png"), img,
+                            [10, 20], [15, 30])
+    visualize.save_disparity(str(tmp_path / "d.png"),
+                             rng.uniform(0, 32, (40, 50)))
+    visualize.save_point_cloud(str(tmp_path / "p.png"),
+                               rng.normal(size=(100, 3)))
+    visualize.save_trajectory(str(tmp_path / "t.png"),
+                              rng.normal(size=(10, 3)))
+    for n in ("f", "d", "p", "t"):
+        assert (tmp_path / f"{n}.png").stat().st_size > 500
+
+
+def test_create_calibration_target_cli(tmp_path):
+    from boofcv_tpu.cli import create_calibration_target as cct
+    from boofcv_tpu.io import image_io
+    out = str(tmp_path / "t.pgm")
+    assert cct.main(["--type", "square_grid", "--rows", "3", "--cols", "4",
+                     "--square", "16", "--space", "10",
+                     "--output", out]) == 0
+    img = image_io.load(out)
+    # the rendered target must be detectable by our own detector
+    from boofcv_tpu.recognition import calib_targets
+    pts = calib_targets.detect_square_grid(img.astype(np.float32), 3, 4)
+    assert pts is not None and pts.shape == (48, 2)
