@@ -196,6 +196,7 @@ def sparse_block_match(left: jnp.ndarray, right: jnp.ndarray,
     h, w = left.shape
     rx, ry = cfg.radius_x, cfg.radius_y
     n_disp = cfg.max_disparity - cfg.min_disparity
+    p = 2 * rx + 1
 
     dy = jnp.arange(-ry, ry + 1)
     dx = jnp.arange(-rx, rx + 1)
@@ -203,14 +204,24 @@ def sparse_block_match(left: jnp.ndarray, right: jnp.ndarray,
     xx = jnp.clip(xs[:, None, None] + dx[None, None, :], 0, w - 1)
     patch_l = left[yy, xx]                               # [N, P, P]
 
-    def score(d):
-        xr = xx - (cfg.min_disparity + d)
-        inb = (xr >= 0) & (xr < w)
-        pr = right[yy, jnp.clip(xr, 0, w - 1)]
-        e = jnp.where(inb, jnp.abs(patch_l - pr), 1e6)
-        return jnp.sum(e, axis=(1, 2))                   # [N]
-
-    costs = jnp.stack([score(d) for d in range(n_disp)], axis=1)  # [N, D]
+    # ONE wide gather per point covering every disparity's window, then
+    # the [N, D] cost table comes from cheap static slices of it — the
+    # per-disparity-gather formulation was 96 scattered reads and
+    # dominated the VO spawn path on TPU.
+    wide_w = n_disp + 2 * rx                             # columns needed
+    x0 = xs - rx - (cfg.min_disparity + n_disp - 1)      # leftmost column
+    cols = x0[:, None] + jnp.arange(wide_w)[None, :]     # [N, W']
+    colb = (cols >= 0) & (cols < w)
+    rows = yy[:, :, 0]                                   # [N, P]
+    wide = right[rows[:, :, None],
+                 jnp.clip(cols, 0, w - 1)[:, None, :]]   # [N, P, W']
+    wide = jnp.where(colb[:, None, :], wide, jnp.inf)
+    # window for disparity index d starts at column (n_disp - 1 - d)
+    sl = jnp.stack([wide[:, :, n_disp - 1 - d: n_disp - 1 - d + p]
+                    for d in range(n_disp)], axis=1)     # [N, D, P, P]
+    e = jnp.abs(patch_l[:, None] - sl)
+    e = jnp.where(jnp.isfinite(e), e, 1e6)
+    costs = jnp.sum(e, axis=(2, 3))                      # [N, D]
     best = jnp.argmin(costs, axis=1)
     cbest = jnp.min(costs, axis=1)
     valid = xs - (cfg.min_disparity + best) >= 0

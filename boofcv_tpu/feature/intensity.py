@@ -78,12 +78,26 @@ def _structure_tensor(image: jnp.ndarray, radius: int = 2, weighted: bool = Fals
         sxy = _blur.gaussian(xy, radius=radius, border=BorderType.EXTENDED)
         syy = _blur.gaussian(yy, radius=radius, border=BorderType.EXTENDED)
     else:
-        n = (2 * radius + 1)
-        k = jnp.ones((n,), jnp.float32)
+        # one depthwise separable box filter over the stacked (xx, xy, yy)
+        # channels: 6 single-channel convs -> 2 grouped convs
+        from jax import lax as _lax
         from boofcv_tpu.ip import convolve
-        sxx = convolve.separable(xx, k, k, BorderType.EXTENDED)
-        sxy = convolve.separable(xy, k, k, BorderType.EXTENDED)
-        syy = convolve.separable(yy, k, k, BorderType.EXTENDED)
+        n = 2 * radius + 1
+        stack = jnp.stack([xx, xy, yy])                      # [3, H, W]
+        padded = jnp.stack([convolve.pad(c, radius, radius,
+                                         BorderType.EXTENDED)
+                            for c in stack])[None]           # [1, 3, H', W']
+        kh = jnp.ones((3, 1, 1, n), jnp.float32)
+        kv = jnp.ones((3, 1, n, 1), jnp.float32)
+        t = _lax.conv_general_dilated(
+            padded, kh, (1, 1), "VALID", feature_group_count=3,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=_lax.Precision.HIGH)
+        t = _lax.conv_general_dilated(
+            t, kv, (1, 1), "VALID", feature_group_count=3,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=_lax.Precision.HIGH)
+        sxx, sxy, syy = t[0, 0], t[0, 1], t[0, 2]
     return sxx, sxy, syy
 
 

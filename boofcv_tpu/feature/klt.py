@@ -144,7 +144,20 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
         return cy, cx, done | converged
 
     done0 = jnp.zeros((n,), dtype=bool)
-    cy, cx, converged = lax.fori_loop(0, cfg.max_iterations, body, (cy, cx, done0))
+    # while_loop with an all-converged early exit: tracks typically settle
+    # in 3-5 GN steps, so running the full max_iterations (masked) wasted
+    # ~3x the gather bandwidth of the level
+    def cond(state):
+        it, _, _, done = state
+        return (it < cfg.max_iterations) & ~jnp.all(done)
+
+    def wbody(state):
+        it, cy, cx, done = state
+        cy, cx, done = body(it, (cy, cx, done))
+        return it + 1, cy, cx, done
+
+    _, cy, cx, converged = lax.while_loop(
+        cond, wbody, (jnp.int32(0), cy, cx, done0))
 
     # final error + bounds check
     cur = sample_rect_bilinear(image, cy, cx, r)

@@ -28,6 +28,24 @@ def sobel(image: jnp.ndarray, border: BorderType = BorderType.EXTENDED):
     ([1,2,1] smoothing, [-1,0,1] difference).
     """
     img = image.astype(jnp.float32)
+    if border == BorderType.EXTENDED:
+        # fused path: both derivatives as ONE 2-output-channel 3x3 conv
+        # (4 separable convs -> 1 op; the stencil is tiny, the win is op
+        # count / HBM passes on TPU)
+        from jax import lax as _lax
+        d = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+        s = jnp.array([1.0, 2.0, 1.0], jnp.float32)
+        kx = s[:, None] * d[None, :]          # [3, 3] d/dx
+        ky = d[:, None] * s[None, :]          # [3, 3] d/dy
+        # conv_general_dilated cross-correlates — matching the library's
+        # kernel convention (correlation, like the reference's loops)
+        ker = jnp.stack([kx, ky])[:, None]                # [2, 1, 3, 3]
+        padded = convolve.pad(img, 1, 1, border)[None, None]
+        out = _lax.conv_general_dilated(
+            padded, ker, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=_lax.Precision.HIGH)
+        return out[0, 0], out[0, 1]
     smooth = jnp.array([1.0, 2.0, 1.0], dtype=jnp.float32)
     dx = convolve.horizontal(img, _DERIV_3, border)
     dx = convolve.vertical(dx, smooth, border)

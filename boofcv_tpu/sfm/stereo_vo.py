@@ -165,13 +165,9 @@ def _spawn(state: StereoVoState, pyramid, grads, left, right,
                           uid=new_uid, next_uid=next_uid)
 
 
-def make_step(cfg: StereoVoConfig, rectK, baseline: float):
-    """Build the jitted per-frame VO step.
-
-    Returns step(state, left, right) -> (state, metrics) where the images
-    are the *rectified* pair (apply geo.rectify maps upstream when the raw
-    cameras are not already rectified).
-    """
+def _make_step_fn(cfg: StereoVoConfig, rectK, baseline: float):
+    """The un-jitted per-frame step body shared by make_step (one frame
+    per dispatch) and make_sequence_runner (N frames per dispatch)."""
     fx = float(rectK[0, 0])
     fy = float(rectK[1, 1])
     cx = float(rectK[0, 2])
@@ -179,7 +175,6 @@ def make_step(cfg: StereoVoConfig, rectK, baseline: float):
     norm_thresh = (cfg.inlier_threshold_px / fx) ** 2
     pyr_cfg = PyramidConfig(scales=cfg.pyramid_scales)
 
-    @jax.jit
     def step(state: StereoVoState, left, right):
         left = left.astype(jnp.float32)
         pyramid = pyramid_ops.pyramid_average(left, pyr_cfg)
@@ -232,6 +227,43 @@ def make_step(cfg: StereoVoConfig, rectK, baseline: float):
         return new_state, metrics
 
     return step
+
+
+def make_step(cfg: StereoVoConfig, rectK, baseline: float):
+    """Build the jitted per-frame VO step.
+
+    Returns step(state, left, right) -> (state, metrics) where the images
+    are the *rectified* pair (apply geo.rectify maps upstream when the raw
+    cameras are not already rectified).
+    """
+    return jax.jit(_make_step_fn(cfg, rectK, baseline))
+
+
+def make_sequence_runner(cfg: StereoVoConfig, rectK, baseline: float):
+    """Whole-sequence VO as ONE dispatch: lax.scan of the per-frame step
+    over stacked frames.
+
+    run(state, lefts [N,H,W], rights [N,H,W]) -> (state, (poses, metrics))
+    with poses = (R [N,3,3], t [N,3]) world->camera per frame.
+
+    This is the throughput path: a remote/tunneled TPU pays one dispatch
+    round-trip per CALL, and per-frame calls chain on the carried state —
+    scanning K frames per call amortizes that latency K-fold (and lets
+    XLA overlap adjacent frames' independent stages).
+    """
+    step = _make_step_fn(cfg, rectK, baseline)
+
+    @jax.jit
+    def run(state: StereoVoState, lefts, rights):
+        def body(s, lr):
+            l, r = lr
+            s, m = step(s, l, r)
+            return s, (s.R, s.t, m)
+
+        state, (Rs, ts, ms) = jax.lax.scan(body, state, (lefts, rights))
+        return state, ((Rs, ts), ms)
+
+    return run
 
 
 def make_bootstrap(cfg: StereoVoConfig, rectK, baseline: float):

@@ -75,3 +75,31 @@ def test_vo_rotation_error_small(vo_run):
     dR = Rest.T @ Rgt.T
     ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
     assert ang < 2.0, ang
+
+
+def test_sequence_runner_matches_stepwise(vo_run):
+    """The scan-based sequence runner must be bitwise-identical to the
+    per-frame step driver (it IS the same step, scanned)."""
+    poses, _, _, _ = vo_run
+    rng = np.random.default_rng(0)
+    frames = simulate.render_stereo_sequence(rng, K, BASELINE, poses, H, W)
+    cfg = stereo_vo.StereoVoConfig(
+        num_tracks=256, pyramid_scales=(1, 2, 4), max_disparity=48,
+        ransac_hypotheses=192, detect_radius=4)
+    boot = stereo_vo.make_bootstrap(cfg, K, BASELINE)
+    state0 = boot(stereo_vo.init_state(cfg, H, W),
+                  jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]))
+    step = stereo_vo.make_step(cfg, K, BASELINE)
+    s = state0
+    Rs_ref, ts_ref = [], []
+    for left, right in frames[1:]:
+        s, _ = step(s, jnp.asarray(left), jnp.asarray(right))
+        Rs_ref.append(np.asarray(s.R))
+        ts_ref.append(np.asarray(s.t))
+    run = stereo_vo.make_sequence_runner(cfg, K, BASELINE)
+    lefts = jnp.stack([jnp.asarray(l) for l, _ in frames[1:]])
+    rights = jnp.stack([jnp.asarray(r) for _, r in frames[1:]])
+    s2, ((Rs, ts), ms) = run(state0, lefts, rights)
+    assert np.allclose(np.asarray(Rs), np.stack(Rs_ref), atol=1e-12)
+    assert np.allclose(np.asarray(ts), np.stack(ts_ref), atol=1e-12)
+    assert (np.asarray(s2.alive) == np.asarray(s.alive)).all()
