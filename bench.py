@@ -37,9 +37,11 @@ def main():
     step = stereo_vo.make_step(cfg, K, baseline)
 
     # synthetic sequence — rendered on the host CPU backend (excluded from
-    # timing; the tunneled-TPU compile of the renderer would dominate)
+    # timing; the tunneled-TPU compile of the renderer would dominate).
+    # Continuous forward motion: wrap-around jumps would break tracking
+    # and benchmark the spawn path instead of steady-state VO.
     rng = np.random.default_rng(0)
-    n_frames = 6
+    n_frames = 41
     poses = []
     for i in range(n_frames):
         R = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002 * i, 0.0])))
@@ -64,8 +66,8 @@ def main():
     # throughput path: lax.scan sequence runner, one dispatch per batch
     # (the per-frame-dispatch path pays one tunnel round-trip per frame —
     # reported on stderr for reference)
-    reps = 40
-    seq = [frames[1 + i % (n_frames - 1)] for i in range(reps)]
+    reps = n_frames - 1
+    seq = frames[1:]
     lefts = jnp.stack([jnp.asarray(l) for l, _ in seq])
     rights = jnp.stack([jnp.asarray(r) for _, r in seq])
     run = stereo_vo.make_sequence_runner(cfg, K, baseline)

@@ -220,6 +220,55 @@ def reprojection_error_sq(R, t, world, obs):
     return jnp.where(zc <= 0, jnp.inf, err)
 
 
+def gauss_newton_pose(R, t, world, obs, weights=None, iterations: int = 10,
+                      damping: float = 1e-8):
+    """Weighted GN pose refinement with the ANALYTIC reprojection
+    Jacobian (left-perturbation: Xc' = exp(w)Xc + v, so
+    dXc/d(w,v) = [-hat(Xc) | I] and dproj/dXc is the standard pinhole
+    2x3) — one residual pass per iteration instead of jacfwd's six
+    tangent passes, which matters on TPU where f64 is emulated.
+    """
+    world = world.astype(jnp.float64)
+    obs = obs.astype(jnp.float64)
+    if weights is None:
+        weights = jnp.ones(world.shape[:-1], jnp.float64)
+    wgt = weights.astype(jnp.float64)
+
+    def body(_, state):
+        R0, t0 = state
+        Xc = world @ R0.T + t0
+        z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-12, 1e-12, Xc[..., 2])
+        inv_z = 1.0 / z
+        x = Xc[..., 0] * inv_z
+        y = Xc[..., 1] * inv_z
+        r = jnp.stack([x, y], -1) - obs                    # [N, 2]
+        # J = dproj/dXc @ [-hat(Xc) | I]  -> [N, 2, 6]
+        zeros = jnp.zeros_like(inv_z)
+        # dproj/dXc rows [1/z, 0, -x/z], [0, 1/z, -y/z]; rotation block
+        # dproj/dw = dproj/dXc @ (-hat(Xc)) in closed form:
+        jw_x = jnp.stack([-x * y, 1.0 + x * x, -y], -1)    # d x / dw
+        jw_y = jnp.stack([-(1.0 + y * y), x * y, x], -1)   # d y / dw
+        jv_x = jnp.stack([inv_z, zeros, -x * inv_z], -1)
+        jv_y = jnp.stack([zeros, inv_z, -y * inv_z], -1)
+        Jx = jnp.concatenate([jw_x, jv_x], -1)             # [N, 6]
+        Jy = jnp.concatenate([jw_y, jv_y], -1)
+        J = jnp.stack([Jx, Jy], 1)                         # [N, 2, 6]
+        w2 = wgt[:, None]
+        H = jnp.einsum("nij,nik->jk", J * w2[..., None], J,
+                       precision=jax.lax.Precision.HIGHEST)
+        g = jnp.einsum("nij,ni->j", J, r * w2,
+                       precision=jax.lax.Precision.HIGHEST)
+        H = H + damping * jnp.eye(6, dtype=jnp.float64)
+        L6 = jnp.linalg.cholesky(H)
+        y6 = jax.scipy.linalg.solve_triangular(L6, g, lower=True)
+        dx = -jax.scipy.linalg.solve_triangular(L6.T, y6, lower=False)
+        dR, dt = se3.exp_se3(dx)
+        return se3.compose(dR, dt, R0, t0)
+
+    return jax.lax.fori_loop(0, iterations, body,
+                             (R.astype(jnp.float64), t.astype(jnp.float64)))
+
+
 def refine_pnp(R, t, world, obs, iterations: int = 10, damping: float = 1e-8):
     """Gauss-Newton refinement of (R, t) minimizing reprojection error.
 
@@ -227,31 +276,5 @@ def refine_pnp(R, t, world, obs, iterations: int = 10, damping: float = 1e-8):
     world: [N, 3], obs: [N, 2] normalized coords.  Runs a fixed number of
     iterations (static shape); each iteration is one 6x6 solve.
     """
-    world = world.astype(jnp.float64)
-    obs = obs.astype(jnp.float64)
-
-    def residual(xi, R0, t0):
-        dR, dt = se3.exp_se3(xi)
-        Rc, tc = se3.compose(dR, dt, R0, t0)
-        Xc = world @ Rc.T + tc
-        z = Xc[..., 2]
-        proj = Xc[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)[..., None]
-        return (proj - obs).ravel()
-
-    def body(_, state):
-        R0, t0 = state
-        xi0 = jnp.zeros((6,), jnp.float64)
-        J = jax.jacfwd(residual)(xi0, R0, t0)  # [2N, 6]
-        r = residual(xi0, R0, t0)
-        H = J.T @ J + damping * jnp.eye(6, dtype=jnp.float64)
-        g = J.T @ r
-        L6 = jnp.linalg.cholesky(H)
-        y6 = jax.scipy.linalg.solve_triangular(L6, g, lower=True)
-        dx = -jax.scipy.linalg.solve_triangular(L6.T, y6, lower=False)
-        dR, dt = se3.exp_se3(dx)
-        Rn, tn = se3.compose(dR, dt, R0, t0)
-        return Rn, tn
-
-    R, t = jax.lax.fori_loop(0, iterations, body,
-                             (R.astype(jnp.float64), t.astype(jnp.float64)))
-    return R, t
+    return gauss_newton_pose(R, t, world, obs, iterations=iterations,
+                             damping=damping)

@@ -260,30 +260,8 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
     mask = result.inliers
     w64 = jnp.where(mask[:, None], world.astype(jnp.float64), 1.0)
     o64 = jnp.where(mask[:, None], obs.astype(jnp.float64), 0.0)
-
-    def residual(xi, R0, t0):
-        from boofcv_tpu.geo import se3 as _se3
-        dR, dt = _se3.exp_se3(xi)
-        Rc, tc = _se3.compose(dR, dt, R0, t0)
-        Xc = w64 @ Rc.T + tc
-        z = Xc[..., 2]
-        proj = Xc[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)[..., None]
-        r = (proj - o64) * mask[:, None]
-        return r.ravel()
-
-    def body(_, state):
-        from boofcv_tpu.geo import se3 as _se3
-        R0, t0 = state
-        xi0 = jnp.zeros((6,), jnp.float64)
-        J = jax.jacfwd(residual)(xi0, R0, t0)
-        r = residual(xi0, R0, t0)
-        H = J.T @ J + 1e-9 * jnp.eye(6, dtype=jnp.float64)
-        g6 = J.T @ r
-        L6 = jnp.linalg.cholesky(H)
-        y6 = jax.scipy.linalg.solve_triangular(L6, g6, lower=True)
-        dx = -jax.scipy.linalg.solve_triangular(L6.T, y6, lower=False)
-        dR, dt = _se3.exp_se3(dx)
-        return _se3.compose(dR, dt, R0, t0)
-
-    Rr, tr = jax.lax.fori_loop(0, refine_iterations, body, (R, t))
+    Rr, tr = pnp.gauss_newton_pose(R, t, w64, o64,
+                                   weights=mask.astype(jnp.float64),
+                                   iterations=refine_iterations,
+                                   damping=1e-9)
     return result, (Rr, tr)
