@@ -169,3 +169,88 @@ def estimate_pose(corners, marker_size: float, K):
                             jnp.asarray(world), jnp.asarray(obs),
                             iterations=15)
     return np.asarray(R2), np.asarray(t2)
+
+
+def _sample_interior(gray, corners, size: int, border: float = BORDER):
+    """Unwarp the quad's INTERIOR (inside the black border) to a size x
+    size grayscale patch via the unit-square homography."""
+    src = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    H = np.asarray(epipolar.homography_dlt(
+        jnp.asarray(src[None]),
+        jnp.asarray(corners[None].astype(np.float64))))[0]
+    h, w = gray.shape
+    u = border + (1 - 2 * border) * (np.arange(size) + 0.5) / size
+    uu, vv = np.meshgrid(u, u)
+    P = np.stack([uu, vv, np.ones_like(uu)], -1) @ H.T
+    x = np.clip(P[..., 0] / P[..., 2], 0, w - 1)
+    y = np.clip(P[..., 1] / P[..., 2], 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 2)
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 2)
+    fx = x - x0
+    fy = y - y0
+    return ((1 - fy) * ((1 - fx) * gray[y0, x0] + fx * gray[y0, x0 + 1])
+            + fy * ((1 - fx) * gray[y0 + 1, x0]
+                    + fx * gray[y0 + 1, x0 + 1]))
+
+
+def detect_image(image, patterns, min_area: float = 400.0,
+                 min_ncc: float = 0.6, sample_size: int = 32):
+    """Image-pattern square fiducials (SquareImage_to_FiducialDetector /
+    DetectFiducialSquareImage.java analog): black-bordered squares whose
+    interior is matched by NCC against a library of grayscale patterns,
+    over all 4 rotations.
+
+    patterns: list of 2D arrays (any size; resampled to sample_size).
+    Returns list of dicts {id, corners [4,2], rotation, ncc}.
+    """
+    gray = np.asarray(image, np.float32)
+    t = float(th_mod.compute_otsu(jnp.asarray(gray)))
+    bw = np.asarray(th_mod.threshold(jnp.asarray(gray), t, down=True))
+
+    # normalize the pattern library once: [P, 4, S, S] (4 rotations)
+    lib = []
+    for p in patterns:
+        p = np.asarray(p, np.float32)
+        ph, pw = p.shape
+        yi = (np.arange(sample_size) + 0.5) / sample_size * ph
+        xi = (np.arange(sample_size) + 0.5) / sample_size * pw
+        ps = p[yi.astype(int)[:, None], xi.astype(int)[None, :]]
+        rots = []
+        for r in range(4):
+            q = np.rot90(ps, r)
+            q = (q - q.mean()) / (q.std() + 1e-9)
+            rots.append(q)
+        lib.append(np.stack(rots))
+    lib = np.stack(lib)                                   # [P, 4, S, S]
+
+    results = []
+    for cont in bin_mod.contour_external(bw):
+        if len(cont) < 30:
+            continue
+        corners = shapes.fit_polygon(cont, num_sides=4, tolerance=3.0)
+        if corners is None or len(corners) != 4 \
+                or not shapes.polygon_is_convex(corners):
+            continue
+        c = np.asarray(corners, np.float64)
+        area = 0.5 * abs(sum(
+            c[i][0] * c[(i + 1) % 4][1] - c[(i + 1) % 4][0] * c[i][1]
+            for i in range(4)))
+        if area < min_area:
+            continue
+        u = c[1] - c[0]
+        v = c[2] - c[1]
+        if u[0] * v[1] - u[1] * v[0] < 0:
+            c = c[::-1]
+        patch = _sample_interior(gray, c, sample_size)
+        pn = (patch - patch.mean()) / (patch.std() + 1e-9)
+        # NCC against the whole library at once (flattened matmul)
+        scores = np.tensordot(lib, pn, axes=([2, 3], [0, 1])) \
+            / (sample_size * sample_size)                 # [P, 4]
+        pid, rot = np.unravel_index(np.argmax(scores), scores.shape)
+        best = float(scores[pid, rot])
+        if best < min_ncc:
+            continue
+        results.append({"id": int(pid),
+                        "corners": np.roll(c, -int(rot), axis=0),
+                        "rotation": int(rot), "ncc": best})
+    return results

@@ -58,3 +58,37 @@ def test_marker_in_scene_with_noise():
     # corners near the expected square
     c = dets[0]["corners"]
     assert c[:, 0].min() > 70 and c[:, 1].min() > 50
+
+
+def test_image_fiducial_detects_pattern():
+    from boofcv_tpu.recognition import fiducial_square as fs
+    rng = np.random.default_rng(4)
+    # two distinctive patterns
+    def smooth(a):
+        k = np.array([0.25, 0.5, 0.25])
+        for ax in (0, 1):
+            a = np.apply_along_axis(
+                lambda r: np.convolve(r, k, "same"), ax, a)
+        return a
+    # smooth patterns: image fiducials are logos, not per-pixel noise
+    patterns = [smooth(smooth(rng.uniform(0, 255, (24, 24))))
+                .astype(np.float32) for _ in range(2)]
+    # render pattern 1 inside a black border at a known place
+    img = np.full((160, 200), 220.0, np.float32)
+    x0, y0, sz = 60, 40, 64
+    img[y0:y0 + sz, x0:x0 + sz] = 0.0           # black border square
+    b = int(sz * 0.25)
+    inner = patterns[1]
+    yi = ((np.arange(sz - 2 * b) + 0.5) / (sz - 2 * b) * 24).astype(int)
+    img[y0 + b:y0 + sz - b, x0 + b:x0 + sz - b] = \
+        inner[yi[:, None], yi[None, :]]
+    dets = fs.detect_image(img, patterns)
+    assert len(dets) == 1
+    assert dets[0]["id"] == 1
+    assert dets[0]["ncc"] > 0.7
+    got = dets[0]["corners"]
+    exp = {(x0 - 0.5, y0 - 0.5), (x0 + sz - 0.5, y0 - 0.5),
+           (x0 - 0.5, y0 + sz - 0.5), (x0 + sz - 0.5, y0 + sz - 0.5)}
+    for gx, gy in got:
+        assert min((gx - ex) ** 2 + (gy - ey) ** 2
+                   for ex, ey in exp) < 4.0
