@@ -269,3 +269,30 @@ def select_pose_cheirality(R4, t4, p1, p2):
         jax.vmap(count, in_axes=(-3, -2))(R4, t4)
     best = jnp.argmax(counts)
     return R4[best], t4[best], best
+
+
+def epipoles_from_fundamental(F):
+    """Left/right epipoles (null vectors of F / F^T): F e1 = 0,
+    F^T e2 = 0 (MultiViewOps.extractEpipoles analog).  Returns
+    (e1 [3], e2 [3]) homogeneous."""
+    F = F.astype(jnp.float64)
+    _, _, Vt = jnp.linalg.svd(F)
+    e1 = Vt[-1]
+    _, _, Vt2 = jnp.linalg.svd(F.T)
+    e2 = Vt2[-1]
+    return e1, e2
+
+
+def cameras_from_fundamental(F):
+    """Canonical projective camera pair from F
+    (MultiViewOps.fundamentalToProjective / F->P):
+    P1 = [I | 0], P2 = [[e2]x F | e2].  Returns (P1 [3,4], P2 [3,4])."""
+    F = F.astype(jnp.float64)
+    _, e2 = epipoles_from_fundamental(F)
+    ex = jnp.array([[0.0, -e2[2], e2[1]],
+                    [e2[2], 0.0, -e2[0]],
+                    [-e2[1], e2[0], 0.0]], jnp.float64)
+    P1 = jnp.concatenate([jnp.eye(3, dtype=jnp.float64),
+                          jnp.zeros((3, 1), jnp.float64)], axis=1)
+    P2 = jnp.concatenate([ex @ F, e2[:, None]], axis=1)
+    return P1, P2

@@ -125,3 +125,50 @@ def self_calibrate_dual_quadratic(Ps, zero_skew: bool = True,
     K = np.linalg.inv(L.T)
     K = K / K[2, 2]
     return K, H
+
+
+def projective_structure_factorization(obs, iterations: int = 10):
+    """Projective structure from factorization (Sturm-Triggs;
+    alg/geo/structure/ProjectiveStructureByFactorization.java).
+
+    obs: [V, N, 2] pixel/normalized observations of N points in V views
+    (all points visible in all views, as the reference requires).
+    Iterates: build the depth-scaled [3V, N] measurement matrix, rank-4
+    SVD factorization into cameras [V, 3, 4] and homogeneous points
+    [N, 4], re-estimate projective depths, repeat — all dense linear
+    algebra, batched on device.
+
+    Returns (Ps [V, 3, 4], X [N, 4]) up to a common projective transform.
+    """
+    import jax.numpy as _jnp
+    obs = _jnp.asarray(obs, _jnp.float64)
+    V, N = obs.shape[0], obs.shape[1]
+    # Hartley-style normalization per view for conditioning
+    mean = _jnp.mean(obs, axis=1, keepdims=True)
+    scale = _jnp.mean(_jnp.linalg.norm(obs - mean, axis=-1),
+                      axis=1)[:, None, None] / _jnp.sqrt(2.0)
+    scale = _jnp.where(scale < 1e-12, 1.0, scale)
+    on = (obs - mean) / scale
+    hom = _jnp.concatenate([on, _jnp.ones_like(on[..., :1])], -1)  # [V,N,3]
+
+    lam = _jnp.ones((V, N), _jnp.float64)
+    Ps = Xh = None
+    for _ in range(iterations):
+        # balance depths (row/column normalization, as Sturm-Triggs)
+        lam = lam / _jnp.linalg.norm(lam, axis=1, keepdims=True)
+        lam = lam / _jnp.linalg.norm(lam, axis=0, keepdims=True)
+        M = (lam[..., None] * hom).transpose(0, 2, 1).reshape(3 * V, N)
+        U, s, Vt = _jnp.linalg.svd(M, full_matrices=False)
+        Ps = (U[:, :4] * s[:4]).reshape(V, 3, 4)
+        Xh = Vt[:4].T                                     # [N, 4]
+        proj = _jnp.einsum("vij,nj->vni", Ps, Xh)
+        lam = proj[..., 2]
+    # un-normalize cameras: x = (x_n * scale + mean)
+    T = _jnp.zeros((V, 3, 3), _jnp.float64)
+    T = T.at[:, 0, 0].set(scale[:, 0, 0])
+    T = T.at[:, 1, 1].set(scale[:, 0, 0])
+    T = T.at[:, 0, 2].set(mean[:, 0, 0])
+    T = T.at[:, 1, 2].set(mean[:, 0, 1])
+    T = T.at[:, 2, 2].set(1.0)
+    Ps = _jnp.einsum("vij,vjk->vik", T, Ps)
+    return Ps, Xh

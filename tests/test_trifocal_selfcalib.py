@@ -83,3 +83,61 @@ def test_self_calibration_recovers_K():
     s = np.linalg.norm(M[2])
     M /= s
     np.testing.assert_allclose(M @ M.T, np.eye(3), atol=0.05)
+
+
+def test_cameras_from_fundamental_consistent():
+    from boofcv_tpu.geo import epipolar as ep
+    rng = np.random.default_rng(3)
+    X = np.concatenate([rng.uniform(-1, 1, (40, 2)),
+                        rng.uniform(4, 7, (40, 1))], 1)
+    R = np.asarray(se3.exp_so3(jnp.asarray([0.05, -0.1, 0.02])))
+    t = np.array([0.4, 0.05, 0.1])
+    p1 = X[:, :2] / X[:, 2:]
+    Xc = X @ R.T + t
+    p2 = Xc[:, :2] / Xc[:, 2:]
+    F = ep.fundamental_8pt(jnp.asarray(p1), jnp.asarray(p2))
+    e1, e2 = ep.epipoles_from_fundamental(F)
+    # epipoles satisfy F e1 = 0 and e2^T F = 0
+    assert np.abs(np.asarray(F) @ np.asarray(e1)).max() < 1e-8
+    assert np.abs(np.asarray(e2) @ np.asarray(F)).max() < 1e-8
+    # canonical camera pair reproduces F up to scale:
+    # F' = [e2]x P2[:, :3] should match (both from the same epipolar geom)
+    P1, P2 = ep.cameras_from_fundamental(F)
+    # verify projective consistency: for triangulated points the
+    # epipolar constraint p2' F p1 ~ 0 holds for reprojections
+    from boofcv_tpu.geo import triangulate as tri
+    # DLT triangulation in the projective frame
+    for i in range(5):
+        A = np.zeros((4, 4))
+        A[0] = p1[i, 0] * np.asarray(P1)[2] - np.asarray(P1)[0]
+        A[1] = p1[i, 1] * np.asarray(P1)[2] - np.asarray(P1)[1]
+        A[2] = p2[i, 0] * np.asarray(P2)[2] - np.asarray(P2)[0]
+        A[3] = p2[i, 1] * np.asarray(P2)[2] - np.asarray(P2)[1]
+        _, _, Vt = np.linalg.svd(A)
+        Xp = Vt[-1]
+        r1 = np.asarray(P1) @ Xp
+        r2 = np.asarray(P2) @ Xp
+        assert np.abs(r1[:2] / r1[2] - p1[i]).max() < 1e-6
+        assert np.abs(r2[:2] / r2[2] - p2[i]).max() < 1e-6
+
+
+def test_projective_factorization_reprojects():
+    from boofcv_tpu.geo import selfcalib
+    rng = np.random.default_rng(4)
+    N, V = 30, 4
+    X = np.concatenate([rng.uniform(-1, 1, (N, 2)),
+                        rng.uniform(5, 8, (N, 1))], 1)
+    obs = []
+    for v in range(V):
+        R = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 0.05, 3))))
+        t = np.array([0.3 * v, 0.0, 0.0])
+        Xc = X @ R.T + t
+        obs.append(Xc[:, :2] / Xc[:, 2:])
+    obs = jnp.asarray(np.stack(obs))
+    Ps, Xh = selfcalib.projective_structure_factorization(obs)
+    proj = np.einsum("vij,nj->vni", np.asarray(Ps), np.asarray(Xh))
+    reproj = proj[..., :2] / proj[..., 2:]
+    # plain Sturm-Triggs (like the reference's fixed-sweep version)
+    # converges to a near-exact fixed point, not machine precision
+    err = np.abs(reproj - np.asarray(obs)).max()
+    assert err < 5e-3, err
