@@ -39,10 +39,10 @@ def run_cfg(tag, **kw):
     print(f"{tag}: {20/dt:.1f} fps ({1000*dt/20:.1f} ms/frame), inliers_last={int(ms['inliers'][-1])}", flush=True)
 
 run_cfg("baseline-cfg")
-run_cfg("klt_iters8", klt=klt_mod.KltConfig(max_iterations=8))
-run_cfg("klt_iters5", klt=klt_mod.KltConfig(max_iterations=5))
-run_cfg("klt_iters2", klt=klt_mod.KltConfig(max_iterations=2))
-run_cfg("hyp64", ransac_hypotheses=64)
-run_cfg("refine0", refine_iterations=0)
-run_cfg("respawn_never", respawn_below=0.05)
-run_cfg("scales12", pyramid_scales=(1,2), max_disparity=96)
+
+
+
+
+
+
+

@@ -152,9 +152,12 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
         return (it < cfg.max_iterations) & ~jnp.all(done)
 
     def wbody(state):
+        # two GN steps per trip: halves the serialized loop-condition
+        # round-trips (the all-converged reduction) per gather
         it, cy, cx, done = state
         cy, cx, done = body(it, (cy, cx, done))
-        return it + 1, cy, cx, done
+        cy, cx, done = body(it, (cy, cx, done))
+        return it + 2, cy, cx, done
 
     _, cy, cx, converged = lax.while_loop(
         cond, wbody, (jnp.int32(0), cy, cx, done0))

@@ -263,10 +263,25 @@ def gauss_newton_pose(R, t, world, obs, weights=None, iterations: int = 10,
         y6 = jax.scipy.linalg.solve_triangular(L6, g, lower=True)
         dx = -jax.scipy.linalg.solve_triangular(L6.T, y6, lower=False)
         dR, dt = se3.exp_se3(dx)
-        return se3.compose(dR, dt, R0, t0)
+        Rn, tn = se3.compose(dR, dt, R0, t0)
+        return Rn, tn, jnp.max(jnp.abs(dx))
 
-    return jax.lax.fori_loop(0, iterations, body,
-                             (R.astype(jnp.float64), t.astype(jnp.float64)))
+    # early exit once the step stalls: GN on reprojection converges
+    # quadratically, typically 3-4 iterations — f64 iterations are
+    # expensive on TPU (emulated), so don't run the fixed max
+    def cond(state):
+        it, _, _, step = state
+        return (it < iterations) & (step > 1e-14)
+
+    def wbody(state):
+        it, R0, t0, _ = state
+        Rn, tn, step = body(it, (R0, t0))
+        return it + 1, Rn, tn, step
+
+    _, R, t, _ = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), R.astype(jnp.float64),
+                      t.astype(jnp.float64), jnp.float64(1.0)))
+    return R, t
 
 
 def refine_pnp(R, t, world, obs, iterations: int = 10, damping: float = 1e-8):

@@ -1,0 +1,140 @@
+"""Uncalibrated three-view metric reconstruction.
+
+Reference analog: boofcv-sfm alg/sfm/structure/ThreeViewEstimateMetric
+Scene.java:80,157 — associated triples -> robust trifocal tensor ->
+projective cameras -> linear dual-quadratic self-calibration -> metric
+upgrade -> triangulation -> bundle adjustment.
+
+TPU design: the trifocal RANSAC is hypothesis-parallel (vmapped 7+-point
+linear solves, transfer-error scoring as one [K, N] reduction); the
+self-calibration and metric upgrade are tiny host-side dense solves; the
+final BA is the library's batched LM-Schur.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from boofcv_tpu.geo import ba, robust, se3, selfcalib, triangulate, trifocal
+
+
+class ThreeViewResult(NamedTuple):
+    K: np.ndarray            # [3, 3] shared intrinsics estimate
+    Rs: np.ndarray           # [3, 3, 3] world->view rotations
+    ts: np.ndarray           # [3, 3]
+    points: np.ndarray       # [N, 3] metric points (inliers only valid)
+    inliers: np.ndarray      # [N] bool trifocal inlier mask
+    reproj_rmse: float
+
+
+def cameras_from_trifocal(T):
+    """Projective camera pair (P2, P3) with P1 = [I | 0] from the tensor
+    (TrifocalExtractGeometries.extractCamera)."""
+    e2, e3 = trifocal.extract_epipoles(T)
+    # P2 = [ [T1 e3, T2 e3, T3 e3] | e2 ]
+    cols2 = jnp.stack([T[k] @ e3 for k in range(3)], axis=1)
+    P2 = jnp.concatenate([cols2, e2[:, None]], axis=1)
+    M = jnp.outer(e3, e3) - jnp.eye(3, dtype=T.dtype)
+    cols3 = jnp.stack([M @ T[k].T @ e2 for k in range(3)], axis=1)
+    P3 = jnp.concatenate([cols3, e3[:, None]], axis=1)
+    return P2, P3
+
+
+def ransac_trifocal(key, p1, p2, p3, num_hypotheses: int = 256,
+                    inlier_threshold_px: float = 2.0, valid_mask=None):
+    """Hypothesis-parallel robust trifocal fit over point triples
+    (ConfigTrifocal + RansacTrifocal assembly in the reference)."""
+    def solver(sample):
+        s1, s2, s3 = sample
+        return trifocal.trifocal_linear(s1, s2, s3)
+
+    def scorer(T, points):
+        q1, q2, q3 = points
+        return trifocal.transfer_error(T, q1, q2, q3)
+
+    return robust.ransac(key, (p1, p2, p3), solver, scorer,
+                         sample_size=8, num_hypotheses=num_hypotheses,
+                         inlier_threshold=inlier_threshold_px ** 2,
+                         valid_mask=valid_mask)
+
+
+def estimate_metric_scene(p1, p2, p3, image_shape, key=None,
+                          num_hypotheses: int = 256,
+                          inlier_threshold_px: float = 2.0,
+                          ba_iterations: int = 20) -> ThreeViewResult:
+    """Full pipeline on associated pixel triples [N, 2] each.
+
+    image_shape: (h, w) — observations are re-centered on the principal
+    point first (the linear dual-quadratic self-calibration assumes a
+    centered principal point, as the reference's does).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    h, w = image_shape
+    c = jnp.asarray([(w - 1) / 2.0, (h - 1) / 2.0], jnp.float64)
+    q1 = jnp.asarray(p1, jnp.float64) - c
+    q2 = jnp.asarray(p2, jnp.float64) - c
+    q3 = jnp.asarray(p3, jnp.float64) - c
+
+    res = ransac_trifocal(key, q1, q2, q3, num_hypotheses,
+                          inlier_threshold_px)
+    T = res.model
+    P2, P3 = cameras_from_trifocal(T)
+    P1 = jnp.concatenate([jnp.eye(3, dtype=jnp.float64),
+                          jnp.zeros((3, 1), jnp.float64)], axis=1)
+
+    # self-calibrate: shared K, principal point at origin
+    K, H = selfcalib.self_calibrate_dual_quadratic(
+        np.stack([np.asarray(P1), np.asarray(P2), np.asarray(P3)]))
+    K = np.asarray(K, np.float64)
+    H = np.asarray(H, np.float64)
+
+    # metric upgrade: P_m = P H = K [R | t]
+    Kinv = np.linalg.inv(K)
+    Rs, ts = [], []
+    for P in (np.asarray(P1), np.asarray(P2), np.asarray(P3)):
+        Pm = P @ H
+        A = Kinv @ Pm
+        scale = np.cbrt(abs(np.linalg.det(A[:, :3])))
+        A = A / (scale if scale > 1e-12 else 1.0)
+        if np.linalg.det(A[:, :3]) < 0:
+            A = -A
+        R = np.asarray(se3.project_to_so3(jnp.asarray(A[:, :3])))
+        Rs.append(R)
+        ts.append(A[:, 3])
+    Rs = np.stack(Rs)
+    ts = np.stack(ts)
+
+    # normalized observations + triangulation of inliers
+    obs = [jnp.einsum("ij,nj->ni", jnp.asarray(Kinv[:2, :2]), q)
+           + jnp.asarray(Kinv[:2, 2]) for q in (q1, q2, q3)]
+    obs = jnp.stack(obs)                                      # [3, N, 2]
+    X = triangulate.triangulate_nview_linear(
+        obs, jnp.asarray(Rs), jnp.asarray(ts))
+
+    # cheirality: flip the scene if points land behind the first camera
+    z1 = np.asarray(X)[:, 2]
+    inl = np.asarray(res.inliers)
+    if inl.any() and np.median(z1[inl]) < 0:
+        # mirror: X -> -X, t -> -t (projective sign ambiguity)
+        X = -X
+        ts = -ts
+
+    # metric BA over the inlier triples
+    n = X.shape[0]
+    prob = ba.make_problem(
+        R=Rs, t=ts, points=np.asarray(X),
+        obs_xy=np.asarray(obs.transpose(1, 0, 2)),
+        obs_view=np.tile(np.arange(3, dtype=np.int32), (n, 1)),
+        obs_valid=np.tile(inl[:, None], (1, 3)),
+        fixed_views=np.array([True, False, False]))
+    prob_opt, info = ba.optimize(prob, iterations=ba_iterations)
+    rmse = float(np.sqrt(2.0 * float(info["final_cost"])
+                         / max(int(inl.sum()) * 3, 1)))
+    return ThreeViewResult(K, np.asarray(prob_opt.R),
+                           np.asarray(prob_opt.t),
+                           np.asarray(prob_opt.points), inl, rmse)

@@ -111,3 +111,16 @@ def test_stereo_vo_demo_cli(tmp_path, capsys):
     assert traj.shape == (4, 12)
     # final z displacement ~ 0.15
     assert abs(traj[-1, 11] - 0.15) < 0.05, traj[-1]
+
+
+def test_create_fiducial_cli_roundtrip(tmp_path):
+    import numpy as np
+    from boofcv_tpu.cli import create_fiducial as cf
+    from boofcv_tpu.io import image_io
+    from boofcv_tpu.recognition import fiducial_square as fs
+    assert cf.main(["--ids", "7", "123", "--size", "192",
+                    "--output-dir", str(tmp_path)]) == 0
+    for mid in (7, 123):
+        img = image_io.load(str(tmp_path / f"fiducial_{mid:04d}.png"))
+        dets = fs.detect(img.astype(np.float32))
+        assert len(dets) == 1 and dets[0]["id"] == mid

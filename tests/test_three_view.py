@@ -1,0 +1,58 @@
+"""Uncalibrated three-view metric reconstruction on synthetic geometry
+(ThreeViewEstimateMetricScene oracle: known K and motion in, recovered
+focal length + metric structure out)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from boofcv_tpu.geo import se3
+from boofcv_tpu.sfm import three_view
+
+
+def make_scene(rng, n=120, f=400.0, h=480, w=640):
+    K = np.array([[f, 0, (w - 1) / 2], [0, f, (h - 1) / 2], [0, 0, 1.0]])
+    X = np.concatenate([rng.uniform(-2, 2, (n, 2)),
+                        rng.uniform(5, 9, (n, 1))], 1)
+    views = []
+    for v in range(3):
+        R = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 0.04, 3))))
+        t = np.array([0.5 * v, 0.05 * v, 0.02 * v])
+        Xc = X @ R.T + t
+        px = Xc @ K.T
+        views.append(px[:, :2] / px[:, 2:])
+    return K, X, views
+
+
+def test_three_view_metric_recovers_focal_and_structure():
+    rng = np.random.default_rng(0)
+    K, X, (p1, p2, p3) = make_scene(rng)
+    res = three_view.estimate_metric_scene(p1, p2, p3, (480, 640),
+                                           num_hypotheses=192)
+    assert res.inliers.sum() > 100
+    # recovered focal within 10%
+    f_est = 0.5 * (res.K[0, 0] + res.K[1, 1])
+    assert abs(f_est - 400.0) / 400.0 < 0.1, f_est
+    assert res.reproj_rmse < 5e-3, res.reproj_rmse
+    # metric structure matches GT up to similarity: check that ratios of
+    # pairwise camera-center distances are preserved
+    def centers(Rs, ts):
+        return np.stack([-Rs[i].T @ ts[i] for i in range(3)])
+    c_est = centers(res.Rs, res.ts)
+    d12 = np.linalg.norm(c_est[1] - c_est[0])
+    d13 = np.linalg.norm(c_est[2] - c_est[0])
+    # GT centers: t = -R c => c = -R^T t with GT values
+    assert d12 > 1e-6
+    ratio_est = d13 / d12
+    # GT distances: views at baseline 0.5 steps (c ~ -R^T t)
+    assert abs(ratio_est - 2.0) < 0.25, ratio_est
+
+
+def test_three_view_with_outliers():
+    rng = np.random.default_rng(1)
+    K, X, (p1, p2, p3) = make_scene(rng)
+    p3 = p3.copy()
+    p3[:20] += rng.uniform(20, 60, (20, 2))
+    res = three_view.estimate_metric_scene(p1, p2, p3, (480, 640),
+                                           num_hypotheses=256)
+    assert res.inliers[:20].mean() < 0.3
+    assert res.inliers[20:].mean() > 0.8
