@@ -117,3 +117,20 @@ def associate_ratio_test(scores: jnp.ndarray, ratio: float = 0.8,
     ok = (best <= ratio * second) & (best <= max_error)
     return Matches(jnp.arange(na, dtype=jnp.int32), idx2[:, 0].astype(jnp.int32),
                    best, ok)
+
+
+def associate_mutual_2d(scores: jnp.ndarray, xy_a: jnp.ndarray,
+                        xy_b: jnp.ndarray, max_distance: float,
+                        valid_a=None, valid_b=None,
+                        max_error: float = jnp.inf) -> Matches:
+    """Mutual-NN with a 2D image-distance gate
+    (AssociateDescription2D / AssociateMaxDistanceNaive analog): pairs
+    farther apart than ``max_distance`` pixels are never matched.  The
+    gate folds into the score matrix as an additive mask, so the whole
+    association stays one matmul-shaped pass."""
+    d2 = (jnp.sum((xy_a[:, None, :] - xy_b[None, :, :]) ** 2, -1)
+          .astype(jnp.float32))
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    gated = jnp.where(d2 <= jnp.float32(max_distance) ** 2,
+                      scores.astype(jnp.float32), big)
+    return associate_mutual(gated, valid_a, valid_b, max_error=max_error)

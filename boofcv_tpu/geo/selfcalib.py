@@ -172,3 +172,73 @@ def projective_structure_factorization(obs, iterations: int = 10):
     T = T.at[:, 2, 2].set(1.0)
     Ps = _jnp.einsum("vij,vjk->vik", T, Ps)
     return Ps, Xh
+
+
+def guess_and_check_focus(Ps, focal_candidates=None,
+                          principal_at_origin: bool = True):
+    """Brute-force focal-length self-calibration
+    (SelfCalibrationGuessAndCheckFocus analog): for each candidate focal
+    length (shared across views, principal point at origin), rectify the
+    projective cameras with the implied plane at infinity and score how
+    closely every rectified camera's K K^T matches the hypothesis; the
+    best-scoring focal wins.
+
+    Ps: [V, 3, 4] projective cameras with P1 = [I | 0].  Returns
+    (f_best, H [4, 4]) with P_metric = P H.
+    """
+    Ps = np.asarray(Ps, np.float64)
+    if focal_candidates is None:
+        focal_candidates = np.geomspace(0.3, 3.0, 40)  # in normalized units
+
+    best = (np.inf, None, None)
+    for f in focal_candidates:
+        K = np.diag([f, f, 1.0])
+        # plane at infinity from the dual quadratic constraint: with
+        # P1 = [I|0] and w1 = K K^T, Q* = [[w1, -w1 p], [-p^T w1, p^T w1 p]]
+        # solve for p by minimizing the constraint violation on the other
+        # views (linear least squares on w_i ~ P_i Q* P_i^T).
+        w1 = K @ K.T
+        # parameterize Q*(p) linear in p; build residuals for views 2..V
+        def q_of(p):
+            top = np.concatenate([w1, -(w1 @ p)[:, None]], axis=1)
+            bot = np.concatenate([-(w1 @ p)[None, :],
+                                  [[float(p @ w1 @ p)]]], axis=1)
+            return np.concatenate([top, bot], axis=0)
+
+        # coarse inner search for p (3 params) by Gauss-Newton from 0
+        p = np.zeros(3)
+        for _ in range(10):
+            def resid(pv):
+                Q = q_of(pv)
+                r = []
+                for i in range(1, Ps.shape[0]):
+                    wi = Ps[i] @ Q @ Ps[i].T
+                    wi = wi / np.linalg.norm(wi)
+                    tgt = w1 / np.linalg.norm(w1)
+                    r.append((wi - tgt).ravel())
+                return np.concatenate(r)
+
+            r0 = resid(p)
+            J = np.zeros((r0.size, 3))
+            eps = 1e-6
+            for k in range(3):
+                dp = np.zeros(3)
+                dp[k] = eps
+                J[:, k] = (resid(p + dp) - r0) / eps
+            try:
+                dp = np.linalg.lstsq(J, -r0, rcond=None)[0]
+            except np.linalg.LinAlgError:
+                break
+            p = p + dp
+            if np.linalg.norm(dp) < 1e-12:
+                break
+        score = float(np.sum(resid(p) ** 2)) if Ps.shape[0] > 1 else 0.0
+        if score < best[0]:
+            best = (score, float(f), p.copy())
+
+    _, f_best, p = best
+    K = np.diag([f_best, f_best, 1.0])
+    H = np.eye(4)
+    H[:3, :3] = K
+    H[3, :3] = -p @ K
+    return f_best, H

@@ -91,12 +91,13 @@ def sample_rect_bilinear(image: jnp.ndarray, cy, cx, radius: int) -> jnp.ndarray
     Batched: cy/cx of shape [N] -> [N, 2r+1, 2r+1].  This is the TPU analog
     of InterpolateRectangle (used by the KLT template sampler).
 
-    Implementation: ONE contiguous dynamic_slice of (P+1, P+1) per track +
-    a 4-term bilinear blend with per-track scalar weights — XLA lowers
-    vmapped dynamic_slice to a block gather, orders of magnitude cheaper on
-    TPU than (2r+1)^2 random scalar gathers per track.  Centers whose
-    support leaves the image are clamped to the border (callers mask
-    out-of-bounds tracks separately, as KLT does).
+    Implementation: ONE flat gather of (P+1)^2 row-major offsets per track
+    + a 4-term bilinear blend with per-track scalar weights — measured
+    ~2x lower latency than a vmapped dynamic_slice per track inside
+    dependent loops (KLT's GN chain), and far cheaper than per-pixel
+    scalar gathers.  Centers whose support leaves the image are clamped
+    to the border (callers mask out-of-bounds tracks separately, as KLT
+    does).
     """
     p = 2 * radius + 1
     h, w = image.shape
@@ -107,11 +108,11 @@ def sample_rect_bilinear(image: jnp.ndarray, cy, cx, radius: int) -> jnp.ndarray
     fx = (cx - x0f).astype(img.dtype)
     yi = jnp.clip(y0f.astype(jnp.int32) - radius, 0, max(h - p - 1, 0))
     xi = jnp.clip(x0f.astype(jnp.int32) - radius, 0, max(w - p - 1, 0))
-
-    def one(y, x):
-        return jax.lax.dynamic_slice(img, (y, x), (p + 1, p + 1))
-
-    sl = jax.vmap(one)(yi, xi)                       # [N, P+1, P+1]
+    dy = jnp.arange(p + 1, dtype=jnp.int32)
+    dx = jnp.arange(p + 1, dtype=jnp.int32)
+    flat = ((yi[:, None, None] + dy[None, :, None]) * w
+            + (xi[:, None, None] + dx[None, None, :]))
+    sl = jnp.take(img.ravel(), flat)                 # [N, P+1, P+1]
     fy = fy[:, None, None]
     fx = fx[:, None, None]
     return ((1 - fy) * (1 - fx) * sl[:, :p, :p]
@@ -122,8 +123,9 @@ def sample_rect_bilinear(image: jnp.ndarray, cy, cx, radius: int) -> jnp.ndarray
 
 def sample_rect_bilinear_multi(images: jnp.ndarray, cy, cx,
                                radius: int) -> jnp.ndarray:
-    """Like :func:`sample_rect_bilinear` for [C, H, W] stacks: one
-    (C, P+1, P+1) dynamic_slice per track.  Returns [C, N, P, P]."""
+    """Like :func:`sample_rect_bilinear` for [C, H, W] stacks: one flat
+    gather of (P+1)^2 offsets per track, shared across the C channels.
+    Returns [C, N, P, P]."""
     p = 2 * radius + 1
     c, h, w = images.shape
     img = images if jnp.issubdtype(images.dtype, jnp.floating) else images.astype(jnp.float32)
@@ -133,12 +135,11 @@ def sample_rect_bilinear_multi(images: jnp.ndarray, cy, cx,
     fx = (cx - x0f).astype(img.dtype)[None, :, None, None]
     yi = jnp.clip(y0f.astype(jnp.int32) - radius, 0, max(h - p - 1, 0))
     xi = jnp.clip(x0f.astype(jnp.int32) - radius, 0, max(w - p - 1, 0))
-
-    def one(y, x):
-        return jax.lax.dynamic_slice(
-            img, (jnp.int32(0), y, x), (c, p + 1, p + 1))
-
-    sl = jnp.moveaxis(jax.vmap(one)(yi, xi), 0, 1)   # [C, N, P+1, P+1]
+    dy = jnp.arange(p + 1, dtype=jnp.int32)
+    dx = jnp.arange(p + 1, dtype=jnp.int32)
+    flat = ((yi[:, None, None] + dy[None, :, None]) * w
+            + (xi[:, None, None] + dx[None, None, :]))
+    sl = jnp.take(img.reshape(c, h * w), flat, axis=1)  # [C, N, P+1, P+1]
     return ((1 - fy) * (1 - fx) * sl[..., :p, :p]
             + (1 - fy) * fx * sl[..., :p, 1:]
             + fy * (1 - fx) * sl[..., 1:, :p]

@@ -141,3 +141,47 @@ def test_projective_factorization_reprojects():
     # converges to a near-exact fixed point, not machine precision
     err = np.abs(reproj - np.asarray(obs)).max()
     assert err < 5e-3, err
+
+
+def test_guess_and_check_focus():
+    from boofcv_tpu.geo import selfcalib
+    rng = np.random.default_rng(7)
+    f = 0.9
+    K = np.diag([f, f, 1.0])
+    Ps_m = []
+    for v in range(4):
+        R = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 0.1, 3)))) \
+            if v else np.eye(3)
+        t = np.array([0.4 * v, 0.02 * v, 0.1 * v])
+        Ps_m.append(K @ np.concatenate([R, t[:, None]], 1))
+    # warp into an arbitrary projective frame keeping P1 = [I | 0]
+    w = rng.normal(0, 0.3, 3)
+    G = np.eye(4)
+    G[:3, :3] = np.linalg.inv(K)
+    G[3, :3] = w
+    Ps = np.stack([P @ G for P in Ps_m])
+    assert np.abs(Ps[0] - np.concatenate(
+        [np.eye(3), np.zeros((3, 1))], 1)).max() < 1e-12
+    f_est, H = selfcalib.guess_and_check_focus(
+        Ps, focal_candidates=np.geomspace(0.4, 2.0, 60))
+    assert abs(f_est - f) / f < 0.06, f_est
+    # H rectifies: P2 H ~ K [R | t] -> (K^-1 P2 H)[:, :3] ~ rotation
+    A = np.linalg.inv(np.diag([f_est, f_est, 1.0])) @ Ps[1] @ H
+    A = A / np.cbrt(abs(np.linalg.det(A[:, :3])))
+    RtR = A[:, :3] @ A[:, :3].T
+    assert np.abs(RtR - np.eye(3)).max() < 0.15, RtR
+
+
+def test_associate_mutual_2d_gate():
+    import jax.numpy as jnp2
+    from boofcv_tpu.feature import associate
+    # identical descriptors, disambiguated only by the position gate
+    desc = jnp2.asarray(np.tile(np.eye(4, 8), (1, 1)), jnp2.float32)
+    xy_a = jnp2.asarray([[0.0, 0], [100, 0], [200, 0], [300, 0]])
+    xy_b = xy_a + 3.0
+    s = associate.score_euclidean_sq(desc, desc)
+    m = associate.associate_mutual_2d(s, xy_a, xy_b, max_distance=10.0)
+    assert bool(m.valid.all())
+    assert (np.asarray(m.dst) == np.arange(4)).all()
+    m2 = associate.associate_mutual_2d(s, xy_a, xy_b, max_distance=1.0)
+    assert not bool(m2.valid.any())
