@@ -178,7 +178,6 @@ def _make_step_fn(cfg: StereoVoConfig, rectK, baseline: float):
     def step(state: StereoVoState, left, right):
         left = left.astype(jnp.float32)
         pyramid = pyramid_ops.pyramid_average(left, pyr_cfg)
-        grads = pyramid_ops.gradient(pyramid)
 
         # 1. track (PointTrackerKltPyramid.process:230)
         nys, nxs, fault = klt.track_pyramid(
@@ -212,6 +211,10 @@ def _make_step_fn(cfg: StereoVoConfig, rectK, baseline: float):
         frac = jnp.mean(alive.astype(jnp.float32))
 
         def do_spawn(s):
+            # gradients are only needed for spawn-time template sampling —
+            # computing them inside the branch keeps them off the
+            # steady-state frame's critical path
+            grads = pyramid_ops.gradient(pyramid)
             return _spawn(s, pyramid, grads, left, right, rectK, baseline, cfg)
 
         def no_spawn(s):
@@ -260,7 +263,8 @@ def make_sequence_runner(cfg: StereoVoConfig, rectK, baseline: float):
             s, m = step(s, l, r)
             return s, (s.R, s.t, m)
 
-        state, (Rs, ts, ms) = jax.lax.scan(body, state, (lefts, rights))
+        state, (Rs, ts, ms) = jax.lax.scan(body, state, (lefts, rights),
+                                           unroll=2)
         return state, ((Rs, ts), ms)
 
     return run
