@@ -129,9 +129,13 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
     ok_det = det / area >= cfg.min_determinant
 
     def body(_, state):
-        cy, cx, done = state
+        cy, cx, done, _ = state
         cur = sample_rect_bilinear(image, cy, cx, r)
         err = cur - desc  # [N, P, P]
+        # per-pixel error at the CURRENT position, carried out of the loop
+        # so the fault check needs no extra gather after convergence (at
+        # the exit the step is ~0, so this equals the final-position error)
+        pp = jnp.mean(jnp.abs(err), axis=(1, 2))
         bx = jnp.sum(err * gx, axis=(1, 2))
         by = jnp.sum(err * gy, axis=(1, 2))
         safe_det = jnp.where(det == 0, 1.0, det)
@@ -141,30 +145,27 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
         cy = cy - step[:, 0]
         cx = cx - step[:, 1]
         converged = (jnp.abs(dx) < cfg.convergence_tol) & (jnp.abs(dy) < cfg.convergence_tol)
-        return cy, cx, done | converged
+        return cy, cx, done | converged, pp
 
     done0 = jnp.zeros((n,), dtype=bool)
+    pp0 = jnp.zeros((n,), image.dtype)
     # while_loop with an all-converged early exit: tracks typically settle
     # in 3-5 GN steps, so running the full max_iterations (masked) wasted
     # ~3x the gather bandwidth of the level
     def cond(state):
-        it, _, _, done = state
+        it, _, _, done, _ = state
         return (it < cfg.max_iterations) & ~jnp.all(done)
 
     def wbody(state):
         # two GN steps per trip: halves the serialized loop-condition
         # round-trips (the all-converged reduction) per gather
-        it, cy, cx, done = state
-        cy, cx, done = body(it, (cy, cx, done))
-        cy, cx, done = body(it, (cy, cx, done))
-        return it + 2, cy, cx, done
+        it, cy, cx, done, pp = state
+        cy, cx, done, pp = body(it, (cy, cx, done, pp))
+        cy, cx, done, pp = body(it, (cy, cx, done, pp))
+        return it + 2, cy, cx, done, pp
 
-    _, cy, cx, converged = lax.while_loop(
-        cond, wbody, (jnp.int32(0), cy, cx, done0))
-
-    # final error + bounds check
-    cur = sample_rect_bilinear(image, cy, cx, r)
-    per_pixel = jnp.mean(jnp.abs(cur - desc), axis=(1, 2))
+    _, cy, cx, converged, per_pixel = lax.while_loop(
+        cond, wbody, (jnp.int32(0), cy, cx, done0, pp0))
     in_bounds = ((cy >= r) & (cy <= h - 1 - r) & (cx >= r) & (cx <= w - 1 - r))
 
     # NOTE: running out of iterations is NOT a fault — the reference's
