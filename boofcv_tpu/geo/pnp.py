@@ -181,6 +181,89 @@ def pnp_dlt(world, obs):
     return R, t
 
 
+def epnp(world, obs, refine_iterations: int = 10):
+    """EPnP (PnPLepetitEPnP.java:104 analog): O(N) PnP via 4 control
+    points.
+
+    world: [N, 3], obs: [N, 2] normalized coords.  The 12x12 normal
+    matrix of the control-point system is eigendecomposed; the null-space
+    dimension-1 and -2 cases are solved from the inter-control-point
+    distance constraints and the better (by reprojection) seeds a GN
+    polish — the reference's relinearization step is replaced by the same
+    full GN refine it applies afterwards anyway.  Returns (R, t).
+    """
+    world = world.astype(jnp.float64)
+    obs = obs.astype(jnp.float64)
+    n = world.shape[0]
+
+    # control points: centroid + principal axes (Lepetit eq. 2 choice)
+    c0 = jnp.mean(world, axis=0)
+    dev = world - c0
+    cov = dev.T @ dev / n
+    w_eig, v_eig = jnp.linalg.eigh(cov)
+    scale = jnp.sqrt(jnp.maximum(w_eig, 1e-12))
+    ctrl = jnp.concatenate([c0[None],
+                            c0[None] + (v_eig * scale[None, :]).T], axis=0)
+
+    # barycentric coordinates: [4] per point with sum = 1
+    Cmat = jnp.concatenate([ctrl.T, jnp.ones((1, 4), jnp.float64)], axis=0)
+    rhs = jnp.concatenate([world.T, jnp.ones((1, n), jnp.float64)], axis=0)
+    alpha = jnp.linalg.solve(Cmat, rhs).T                   # [N, 4]
+
+    # M x = 0 with x = camera coords of the 4 control points (12 vector)
+    u = obs[:, 0]
+    v = obs[:, 1]
+    zero = jnp.zeros_like(alpha)
+    row_x = jnp.stack([alpha, zero, -alpha * u[:, None]],
+                      axis=-1).reshape(n, 12)
+    row_y = jnp.stack([zero, alpha, -alpha * v[:, None]],
+                      axis=-1).reshape(n, 12)
+    M = jnp.concatenate([row_x, row_y], axis=0)             # [2N, 12]
+    MtM = M.T @ M
+    _, V = jnp.linalg.eigh(MtM)
+    v1 = V[:, 0].reshape(4, 3)
+    v2 = V[:, 1].reshape(4, 3)
+
+    iu, ju = jnp.triu_indices(4, k=1)
+    dw = jnp.linalg.norm(ctrl[iu] - ctrl[ju], axis=1)       # [6] world dists
+
+    def pose_from_ctrl(cc):
+        """Camera control points -> (R, t) with cheirality fix."""
+        cam = alpha @ cc
+        sign = jnp.where(jnp.mean(cam[:, 2]) < 0, -1.0, 1.0)
+        return absolute_orientation(world, cam * sign)
+
+    # case N=1: x = beta v1, beta from matching distances
+    d1 = jnp.linalg.norm(v1[iu] - v1[ju], axis=1)
+    beta1 = jnp.sum(d1 * dw) / jnp.maximum(jnp.sum(d1 * d1), 1e-30)
+    Ra, ta = pose_from_ctrl(beta1 * v1)
+
+    # case N=2: x = b1 v1 + b2 v2; 6 distance constraints linear in
+    # (b1^2, b1 b2, b2^2)
+    e1 = v1[iu] - v1[ju]
+    e2 = v2[iu] - v2[ju]
+    L = jnp.stack([jnp.sum(e1 * e1, 1), 2 * jnp.sum(e1 * e2, 1),
+                   jnp.sum(e2 * e2, 1)], axis=1)            # [6, 3]
+    bb = jnp.linalg.lstsq(L, dw * dw)[0]
+    b1 = jnp.sqrt(jnp.maximum(bb[0], 1e-30))
+    b2 = jnp.sign(bb[1]) * jnp.sqrt(jnp.maximum(bb[2], 0.0))
+    Rb, tb = pose_from_ctrl(b1 * v1 + b2 * v2)
+
+    err_a = jnp.sum(jnp.where(jnp.isfinite(
+        reprojection_error_sq(Ra, ta, world, obs)),
+        reprojection_error_sq(Ra, ta, world, obs), 1e12))
+    err_b = jnp.sum(jnp.where(jnp.isfinite(
+        reprojection_error_sq(Rb, tb, world, obs)),
+        reprojection_error_sq(Rb, tb, world, obs), 1e12))
+    better = err_a <= err_b
+    R = jnp.where(better, Ra, Rb)
+    t = jnp.where(better, ta, tb)
+    if refine_iterations > 0:
+        R, t = gauss_newton_pose(R, t, world, obs,
+                                 iterations=refine_iterations)
+    return R, t
+
+
 def pnp_planar(world_xy, obs, refine_iterations: int = 10):
     """Planar PnP (IPPE use-case, alg/geo/pose/IPPE_to_EstimatePnP /
     Zhang99DecomposeHomography analog): pose from N>=4 coplanar points.

@@ -272,3 +272,20 @@ def test_pnp_planar_recovers_pose():
     R, t = pnp.pnp_planar(world_xy, obs)
     assert np.abs(np.asarray(R) - Rgt).max() < 1e-8
     assert np.abs(np.asarray(t) - tgt).max() < 1e-8
+
+
+def test_epnp_recovers_pose():
+    from boofcv_tpu.geo import pnp, se3
+    rng = np.random.default_rng(6)
+    world = jnp.asarray(np.concatenate(
+        [rng.uniform(-2, 2, (40, 2)), rng.uniform(3, 9, (40, 1))], 1))
+    Rgt = np.asarray(se3.exp_so3(jnp.asarray([0.3, -0.2, 0.15])))
+    tgt = np.array([0.2, -0.4, 1.0])
+    Xc = np.asarray(world) @ Rgt.T + tgt
+    obs = jnp.asarray(Xc[:, :2] / Xc[:, 2:])
+    R, t = pnp.epnp(world, obs)
+    assert np.abs(np.asarray(R) - Rgt).max() < 1e-8
+    assert np.abs(np.asarray(t) - tgt).max() < 1e-8
+    # without the GN polish the linear solution must already be close
+    R0, t0 = pnp.epnp(world, obs, refine_iterations=0)
+    assert np.abs(np.asarray(R0) - Rgt).max() < 1e-2
