@@ -148,6 +148,180 @@ def p3p_grunert(world, obs):
     return R.astype(jnp.float64), t.astype(jnp.float64), ok
 
 
+def p3p_finsterwalder(world, obs):
+    """Finsterwalder's P3P (P3PFinsterwalder.java analog), batched.
+
+    Same interface as :func:`p3p_grunert` — world [..., 3, 3],
+    obs [..., 3, 2] normalized — returning up to 4 poses
+    (R [..., 4, 3, 3], t [..., 4, 3], valid [..., 4]).
+
+    Method (Haralick et al. 1994 review): with u = s2/s1, v = s3/s1 the
+    two side-ratio constraints are conics in (u, v); a lambda making
+    their pencil degenerate (root of a CUBIC, vs Grunert's quartic)
+    splits it into two lines, each intersected with one conic (two
+    quadratics).  All steps are closed-form and vmap cleanly.
+    """
+    from boofcv_tpu.geo.epipolar import _cubic_roots
+
+    world = world.astype(jnp.float64)
+    obs = obs.astype(jnp.float64)
+    f = jnp.concatenate([obs, jnp.ones_like(obs[..., :1])], axis=-1)
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
+    P1, P2, P3 = world[..., 0, :], world[..., 1, :], world[..., 2, :]
+    a2 = jnp.sum((P2 - P3) ** 2, -1)
+    b2 = jnp.sum((P1 - P3) ** 2, -1)
+    c2 = jnp.sum((P1 - P2) ** 2, -1)
+    ca = jnp.sum(f2 * f3, -1)   # cos(alpha)
+    cb = jnp.sum(f1 * f3, -1)   # cos(beta)
+    cg = jnp.sum(f1 * f2, -1)   # cos(gamma)
+
+    z = jnp.zeros_like(a2)
+
+    def sym3(m00, m01, m02, m11, m12, m22):
+        r0 = jnp.stack([m00, m01, m02], -1)
+        r1 = jnp.stack([m01, m11, m12], -1)
+        r2 = jnp.stack([m02, m12, m22], -1)
+        return jnp.stack([r0, r1, r2], -2)
+
+    # conic (i):  -b^2 u^2 + 2 b^2 ca uv + (a^2-b^2) v^2 - 2 a^2 cb v + a^2
+    Q1 = sym3(-b2, b2 * ca, z, a2 - b2, -a2 * cb, a2)
+    # conic (ii): (a^2-c^2) u^2 + 2 c^2 ca uv - c^2 v^2 - 2 a^2 cg u + a^2
+    Q2 = sym3(a2 - c2, c2 * ca, -a2 * cg, -c2, z, a2)
+
+    # det(Q1 + lam Q2) = 0 -> cubic in lam
+    def det3(M):
+        return (M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2]
+                                - M[..., 1, 2] * M[..., 2, 1])
+                - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2]
+                                  - M[..., 1, 2] * M[..., 2, 0])
+                + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1]
+                                  - M[..., 1, 1] * M[..., 2, 0]))
+
+    d0 = det3(Q1)
+    d3 = det3(Q2)
+    # interpolate to get the middle coefficients: det(Q1 + t Q2) at
+    # t = 1, -1 gives linear system for c1, c2
+    dp = det3(Q1 + Q2)
+    dm = det3(Q1 - Q2)
+    c1 = (dp - dm) / 2.0 - d3
+    c2_ = (dp + dm) / 2.0 - d0
+    lam, real = _cubic_roots(d3, c2_, c1, d0)          # [..., 3]
+    # use the first real root (any root of the cubic works in theory)
+    lam0 = jnp.take_along_axis(
+        jnp.where(real, lam, jnp.nan),
+        jnp.argmax(real, axis=-1)[..., None], axis=-1)[..., 0]
+    Q = Q1 + lam0[..., None, None] * Q2
+
+    # split the degenerate conic Q (rank 2) into two lines l, m:
+    # adj(Q) = -p p^T with p the lines' intersection; D = Q + [p]x has
+    # rank-1 rows/cols proportional to the two lines.
+    def adj3(M):
+        c00 = M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1]
+        c01 = M[..., 1, 2] * M[..., 2, 0] - M[..., 1, 0] * M[..., 2, 2]
+        c02 = M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]
+        c11 = M[..., 0, 0] * M[..., 2, 2] - M[..., 0, 2] * M[..., 2, 0]
+        c12 = M[..., 0, 1] * M[..., 2, 0] - M[..., 0, 0] * M[..., 2, 1]
+        c22 = M[..., 0, 0] * M[..., 1, 1] - M[..., 0, 1] * M[..., 1, 0]
+        r0 = jnp.stack([c00, c01, c02], -1)
+        r1 = jnp.stack([c01, c11, c12], -1)
+        r2 = jnp.stack([c02, c12, c22], -1)
+        return jnp.stack([r0, r1, r2], -2)
+
+    B = adj3(Q)
+    diag = -jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], -1)
+    i_best = jnp.argmax(diag, axis=-1)
+    di = jnp.take_along_axis(diag, i_best[..., None], -1)[..., 0]
+    di = jnp.sqrt(jnp.maximum(di, 1e-30))
+    p = jnp.take_along_axis(
+        B, i_best[..., None, None].repeat(3, -2), -1)[..., 0] / di[..., None]
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    Px = jnp.stack([
+        jnp.stack([z, -pz, py], -1),
+        jnp.stack([pz, z, -px], -1),
+        jnp.stack([-py, px, z], -1)], -2)
+    D = Q + Px
+    # pick the row/column with the largest norm: row -> line l, col -> m
+    rn = jnp.sum(D * D, -1)
+    ri = jnp.argmax(rn, -1)
+    l_line = jnp.take_along_axis(D, ri[..., None, None].repeat(3, -1),
+                                 -2)[..., 0, :]
+    cn = jnp.sum(D * D, -2)
+    ci = jnp.argmax(cn, -1)
+    m_line = jnp.take_along_axis(D, ci[..., None, None].repeat(3, -2),
+                                 -1)[..., 0]
+
+    # intersect each line with conic (ii) (parameterize u by v or v by u)
+    def line_conic(line):
+        """Solve conic(ii)=0 on the line lu*u + lv*v + lw = 0.
+
+        Returns two (u, v) solutions [..., 2, 2]."""
+        lu, lv, lw = line[..., 0], line[..., 1], line[..., 2]
+        # choose substitution by the larger coefficient
+        use_u = jnp.abs(lu) >= jnp.abs(lv)
+        # u = -(lv v + lw)/lu   OR  v = -(lu u + lw)/lv
+        A = Q2[..., 0, 0]
+        Bq = 2 * Q2[..., 0, 1]
+        Cq = Q2[..., 1, 1]
+        Dq = 2 * Q2[..., 0, 2]
+        Eq = 2 * Q2[..., 1, 2]
+        Fq = Q2[..., 2, 2]
+        lus = jnp.where(jnp.abs(lu) < 1e-30, 1e-30, lu)
+        lvs = jnp.where(jnp.abs(lv) < 1e-30, 1e-30, lv)
+        # substitute u = alpha v + beta (alpha = -lv/lu, beta = -lw/lu)
+        al_u = -lv / lus
+        be_u = -lw / lus
+        qa_u = A * al_u ** 2 + Bq * al_u + Cq
+        qb_u = 2 * A * al_u * be_u + Bq * be_u + Dq * al_u + Eq
+        qc_u = A * be_u ** 2 + Dq * be_u + Fq
+        # substitute v = alpha u + beta (alpha = -lu/lv, beta = -lw/lv)
+        al_v = -lu / lvs
+        be_v = -lw / lvs
+        qa_v = Cq * al_v ** 2 + Bq * al_v + A
+        qb_v = 2 * Cq * al_v * be_v + Bq * be_v + Eq * al_v + Dq
+        qc_v = Cq * be_v ** 2 + Eq * be_v + Fq
+        qa = jnp.where(use_u, qa_u, qa_v)
+        qb = jnp.where(use_u, qb_u, qb_v)
+        qc = jnp.where(use_u, qc_u, qc_v)
+        disc = qb * qb - 4 * qa * qc
+        ok = (disc >= 0) & (jnp.abs(qa) > 1e-30)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        qas = jnp.where(jnp.abs(qa) < 1e-30, 1e-30, qa)
+        r1 = (-qb + sq) / (2 * qas)
+        r2 = (-qb - sq) / (2 * qas)
+        outs = []
+        for r in (r1, r2):
+            u_u = al_u * r + be_u      # if use_u: param is v
+            v_v = al_v * r + be_v      # if not: param is u
+            uu = jnp.where(use_u, u_u, r)
+            vv = jnp.where(use_u, r, v_v)
+            outs.append(jnp.stack([uu, vv], -1))
+        return jnp.stack(outs, -2), jnp.stack([ok, ok], -1)
+
+    uv_l, ok_l = line_conic(l_line)
+    uv_m, ok_m = line_conic(m_line)
+    uv = jnp.concatenate([uv_l, uv_m], axis=-2)           # [..., 4, 2]
+    okq = jnp.concatenate([ok_l, ok_m], axis=-1)          # [..., 4]
+
+    u = uv[..., 0]
+    v = uv[..., 1]
+    den1 = 1.0 + u * u - 2.0 * u * cg[..., None]
+    den1 = jnp.where(jnp.abs(den1) < 1e-30, 1e-30, den1)
+    s1 = jnp.sqrt(jnp.maximum(c2[..., None] / den1, 0.0))
+    s2 = u * s1
+    s3 = v * s1
+    ok = okq & (s1 > 0) & (s2 > 0) & (s3 > 0) & jnp.isfinite(u) \
+        & jnp.isfinite(v)
+
+    cam1 = s1[..., None] * f1[..., None, :]
+    cam2 = s2[..., None] * f2[..., None, :]
+    cam3 = s3[..., None] * f3[..., None, :]
+    cam = jnp.stack([cam1, cam2, cam3], axis=-2)
+    worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
+    R, t = absolute_orientation(worldr, cam, dtype=jnp.float32)
+    return R.astype(jnp.float64), t.astype(jnp.float64), ok
+
+
 def pnp_dlt(world, obs):
     """DLT PnP for N>=6 points (PoseFromPairLinear6 analog).
 

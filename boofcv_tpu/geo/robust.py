@@ -224,19 +224,24 @@ def ransac_homography(key, p1, p2, num_hypotheses: int = 512,
 
 def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
                inlier_threshold: float = 1e-3, valid_mask=None,
-               refine_iterations: int = 10):
+               refine_iterations: int = 10, p3p: str = "grunert"):
     """Robust camera pose from 2D/3D via batched P3P + GN refine on inliers
     (FactoryVisualOdometry.stereoDepth RANSAC assembly, :209).
 
     obs in normalized image coords; threshold in normalized units
     (the reference converts a pixel threshold via fx — do that upstream).
-    Returns (RansacResult, (R_refined, t_refined)).
+    p3p: "grunert" (quartic) or "finsterwalder" (cubic; the reference
+    example's EnumPNP.P3P_FINSTERWALDER).  Returns
+    (RansacResult, (R_refined, t_refined)).
     """
     from boofcv_tpu.geo import pnp
 
+    minimal = {"grunert": pnp.p3p_grunert,
+               "finsterwalder": pnp.p3p_finsterwalder}[p3p]
+
     def solver(sample):
         w, o = sample
-        R4, t4, ok = pnp.p3p_grunert(w, o)
+        R4, t4, ok = minimal(w, o)
         return R4, t4, ok
 
     def scorer(model, points):

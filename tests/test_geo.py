@@ -289,3 +289,62 @@ def test_epnp_recovers_pose():
     # without the GN polish the linear solution must already be close
     R0, t0 = pnp.epnp(world, obs, refine_iterations=0)
     assert np.abs(np.asarray(R0) - Rgt).max() < 1e-2
+
+
+def test_p3p_finsterwalder_contains_truth():
+    from boofcv_tpu.geo import pnp, se3
+    rng = np.random.default_rng(9)
+    hits = 0
+    for _ in range(12):
+        world = jnp.asarray(np.concatenate(
+            [rng.uniform(-2, 2, (3, 2)), rng.uniform(3, 9, (3, 1))], 1))
+        Rgt = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 0.3, 3))))
+        tgt = rng.normal(0, 0.5, 3)
+        tgt[2] = abs(tgt[2]) + 0.5
+        Xc = np.asarray(world) @ Rgt.T + tgt
+        if (Xc[:, 2] <= 0.1).any():
+            continue
+        obs = jnp.asarray(Xc[:, :2] / Xc[:, 2:])
+        R4, t4, ok = pnp.p3p_finsterwalder(world, obs)
+        best = min((np.abs(np.asarray(R4[i]) - Rgt).max()
+                    for i in range(4) if bool(ok[i])), default=np.inf)
+        assert best < 1e-5, best
+        hits += 1
+    assert hits >= 8
+
+
+def test_p3p_finsterwalder_batched():
+    import jax
+    from boofcv_tpu.geo import pnp, se3
+    rng = np.random.default_rng(10)
+    K = 16
+    world = jnp.asarray(np.concatenate(
+        [rng.uniform(-2, 2, (K, 3, 2)), rng.uniform(3, 9, (K, 3, 1))], 2))
+    R = np.asarray(se3.exp_so3(jnp.asarray([0.1, 0.2, -0.1])))
+    t = np.array([0.1, -0.2, 0.6])
+    Xc = np.asarray(world) @ R.T + t
+    obs = jnp.asarray(Xc[..., :2] / Xc[..., 2:])
+    R4, t4, ok = jax.vmap(pnp.p3p_finsterwalder)(world, obs)
+    assert R4.shape == (K, 4, 3, 3)
+    found = 0
+    for k in range(K):
+        errs = [np.abs(np.asarray(R4[k, i]) - R).max()
+                for i in range(4) if bool(ok[k, i])]
+        if errs and min(errs) < 1e-5:
+            found += 1
+    assert found >= K - 2, found
+
+
+def test_ransac_pnp_finsterwalder_variant():
+    import jax
+    rng = np.random.default_rng(12)
+    w = jnp.asarray(np.concatenate(
+        [rng.uniform(-1, 1, (64, 2)), rng.uniform(4, 8, (64, 1))], 1))
+    obs = np.array(w[:, :2] / w[:, 2:])
+    obs[:10] += 0.05
+    res, (R, t) = robust.ransac_pnp(
+        jax.random.PRNGKey(2), w, jnp.asarray(obs), num_hypotheses=128,
+        inlier_threshold=1e-5, p3p="finsterwalder")
+    assert int(res.num_inliers) >= 50
+    assert np.abs(np.asarray(R) - np.eye(3)).max() < 1e-6
+    assert np.abs(np.asarray(t)).max() < 1e-6
