@@ -304,3 +304,62 @@ class PointTrackerCombined(PointTrackerKlt):
         self._tmpl = klt.sample_templates(self._pyr, grads, self.ys,
                                           self.xs, self.scales,
                                           self.cfg.template_radius)
+
+
+class PointTrackerTwoPassKlt(PointTrackerKlt):
+    """Two-pass KLT tracker (abst/feature/tracker/PointTrackerTwoPass.java
+    + PointTrackerTwoPassKltPyramid): the first pass tracks from the
+    previous positions; the caller (a VO) estimates motion from the
+    provisional tracks and calls :meth:`second_pass` with predicted
+    positions, re-tracking hard cases from much better initial guesses;
+    :meth:`finish` commits the result."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._pending = None      # (xs, ys, alive) awaiting finish()
+        self._cur_pyr = None
+
+    def process(self, image) -> None:
+        img = jnp.asarray(image, jnp.float32)
+        pyr = pyramid_ops.pyramid_average(
+            img, PyramidConfig(scales=self.scales))
+        self._cur_pyr = pyr
+        if self._pyr is not None and bool(jnp.any(self.alive)):
+            nys, nxs, fault = klt.track_pyramid(
+                pyr, self._tmpl, self.ys, self.xs, self.scales, self.cfg)
+            ok = self.alive & (fault == klt.TRACK_OK)
+            self._pending = (jnp.where(ok, nxs, self.xs),
+                             jnp.where(ok, nys, self.ys), ok)
+        else:
+            # first frame: nothing to track, commit immediately so
+            # spawn() can sample templates from it
+            self._pyr = pyr
+            self._pending = (self.xs, self.ys, self.alive)
+
+    def second_pass(self, pred_ys, pred_xs) -> None:
+        """Re-track every slot starting from the caller's predictions
+        (e.g. reprojections through the estimated motion)."""
+        if self._cur_pyr is None or self._tmpl is None:
+            return
+        nys, nxs, fault = klt.track_pyramid(
+            self._cur_pyr, self._tmpl,
+            jnp.asarray(pred_ys, jnp.float32),
+            jnp.asarray(pred_xs, jnp.float32), self.scales, self.cfg)
+        ok2 = self.alive & (fault == klt.TRACK_OK)
+        xs1, ys1, ok1 = self._pending
+        # the hinted pass REPLACES the first pass (the reference's
+        # performSecondPass re-tracks everything from the predictions;
+        # a first pass beyond the motion range converges to false minima,
+        # so it only survives where the hinted pass fails)
+        self._pending = (jnp.where(ok2, nxs, jnp.where(ok1, xs1, self.xs)),
+                         jnp.where(ok2, nys, jnp.where(ok1, ys1, self.ys)),
+                         ok1 | ok2)
+
+    def finish(self) -> None:
+        """Commit the (possibly second-pass-improved) track update."""
+        xs, ys, ok = self._pending
+        self.xs = xs
+        self.ys = ys
+        self.alive = ok
+        self._pyr = self._cur_pyr
+        self._pending = None

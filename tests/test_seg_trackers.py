@@ -193,3 +193,32 @@ def test_point_tracker_combined_reacquires_after_jump():
                if abs((after[u].x - before[u].x) + 30) < 3.0
                and abs((after[u].y - before[u].y) + 25) < 3.0)
     assert good >= 0.6 * len(recovered), (good, len(recovered))
+
+
+def test_point_tracker_two_pass_recovers_with_hints():
+    from boofcv_tpu.feature.point_tracker import PointTrackerTwoPassKlt
+    from boofcv_tpu.io.simulate import noise_texture
+    rng = np.random.default_rng(12)
+    big = np.asarray(noise_texture(rng, size=256))
+    i1 = big[20:140, 20:180]
+    # motion beyond single-level KLT range at scales (1, 2): 14 px
+    dy, dx = 14, 10
+    i2 = big[20 + dy:140 + dy, 20 + dx:180 + dx]
+    t = PointTrackerTwoPassKlt(max_tracks=80, scales=(1, 2))
+    t.process(i1)
+    t.spawn()
+    before = {tr.uid: tr for tr in t.active_tracks()}
+    assert len(before) >= 20
+    t.process(i2)
+    xs1, ys1, ok1 = t._pending
+    n_first = int(np.asarray(ok1).sum())
+    # hinted second pass: predict with the TRUE motion (what a VO's
+    # estimated pose would supply)
+    t.second_pass(np.asarray(t.ys) - dy, np.asarray(t.xs) - dx)
+    t.finish()
+    after = {tr.uid: tr for tr in t.active_tracks()}
+    assert len(after) > max(n_first, 0.5 * len(before))
+    good = sum(1 for u in after if u in before
+               and abs((after[u].x - before[u].x) + dx) < 0.5
+               and abs((after[u].y - before[u].y) + dy) < 0.5)
+    assert good >= 0.8 * len(after), (good, len(after))
