@@ -134,10 +134,35 @@ def relabel_compact(labels) -> np.ndarray:
     return out
 
 
+def label_blobs_host(binary, eight: bool = True):
+    """Host-side union-find CCL (native C++ when available): returns
+    (labels [H, W] int32 numbered 1..N in raster order, N).  Same output as
+    ``relabel_compact(label_blobs(binary))`` but O(H*W) on the host — the
+    fast path for host-driven detectors (fiducials, QR, targets)."""
+    from boofcv_tpu import native
+    res = native.ccl(binary, eight=eight)
+    if res is not None:
+        return res
+    lab = relabel_compact(label_blobs(jnp.asarray(np.asarray(binary) > 0),
+                                      eight=eight))
+    return lab, int(lab.max())
+
+
 def contour_external(binary, label: int | None = None) -> list[np.ndarray]:
     """Host-side external contour tracing (Moore neighborhood, CW), analog of
     LinearExternalContours.java.  Returns a list of [K, 2] (x, y) arrays,
-    one per blob, ordered by first (raster) pixel."""
+    one per blob, ordered by first (raster) pixel.  Uses the native C++
+    tracer (boofcv_tpu/native/ccl.cpp) when available; the pure-Python
+    tracer below is the reference fallback."""
+    if label is None:
+        from boofcv_tpu import native
+        res = native.external_contours(binary)
+        if res is not None:
+            return res
+    return _contour_external_py(binary, label)
+
+
+def _contour_external_py(binary, label: int | None = None) -> list[np.ndarray]:
     img = np.asarray(binary) > 0
     h, w = img.shape
     contours = []

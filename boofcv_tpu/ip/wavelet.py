@@ -143,6 +143,42 @@ def denoise_visu(image, wavelet: str = "haar", levels: int = 3):
     return waverec2(ll, out, wavelet)
 
 
+def denoise_sure(image, wavelet: str = "haar", levels: int = 3):
+    """SureShrink: per-subband threshold minimizing Stein's unbiased risk
+    estimate (DenoiseSureShrink_F32), with the standard hybrid fallback to
+    the universal threshold when the subband is too sparse.
+
+    SURE(t) = n - 2*#{|y|<=t} + sum(min(|y|, t)^2) evaluated at every
+    candidate t = |y_(k)| (all sorted magnitudes — one vectorized sweep,
+    no data-dependent shapes).
+    """
+    ll, coeffs = wavedec2(image, wavelet, levels)
+    sigma = _noise_sigma(coeffs[-1][2])
+    sigma = jnp.maximum(sigma, 1e-12)
+
+    def sure_threshold(b):
+        y = (b / sigma).ravel()
+        n = y.shape[0]
+        a = jnp.sort(y * y)
+        cum = jnp.cumsum(a)
+        k = jnp.arange(1, n + 1, dtype=jnp.float32)
+        # risk at t^2 = a[k-1]: n - 2k + cum[k-1] + (n-k)*a[k-1]
+        risk = (n - 2.0 * k) + cum + (n - k) * a
+        t2 = a[jnp.argmin(risk)]
+        t_sure = jnp.sqrt(t2)
+        # hybrid rule: universal threshold if signal energy is too small
+        t_univ = jnp.sqrt(2.0 * jnp.log(jnp.asarray(n, jnp.float32)))
+        energy = (cum[-1] - n) / n
+        magic = (jnp.log2(jnp.asarray(n, jnp.float32)) ** 1.5) / jnp.sqrt(
+            jnp.asarray(n, jnp.float32))
+        t = jnp.where(energy <= magic, t_univ, jnp.minimum(t_sure, t_univ))
+        return t * sigma
+
+    out = [tuple(_soft(b, sure_threshold(b)) for b in bands)
+           for bands in coeffs]
+    return waverec2(ll, out, wavelet)
+
+
 def denoise_bayes(image, wavelet: str = "haar", levels: int = 3):
     """BayesShrink: per-subband t = sigma^2 / sigma_x
     (DenoiseBayesShrink_F32)."""

@@ -35,7 +35,8 @@ def test_wavelet_energy_compaction():
     assert e_d < 0.01 * e_ll
 
 
-@pytest.mark.parametrize("rule", [wavelet.denoise_visu, wavelet.denoise_bayes])
+@pytest.mark.parametrize("rule", [wavelet.denoise_visu, wavelet.denoise_bayes,
+                                  wavelet.denoise_sure])
 def test_wavelet_denoising_reduces_noise(rule):
     rng = np.random.default_rng(2)
     yy, xx = np.mgrid[0:64, 0:64]
