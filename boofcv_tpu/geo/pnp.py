@@ -71,15 +71,20 @@ def absolute_orientation(world, cam, dtype=jnp.float64):
     return R, t
 
 
-def p3p_grunert(world, obs):
+def p3p_grunert(world, obs, dtype=jnp.float64):
     """Grunert's P3P (P3PGrunert.java), batched over hypotheses.
 
     world: [..., 3, 3] three 3D points; obs: [..., 3, 2] normalized image
     coords.  Returns (R [..., 4, 3, 3], t [..., 4, 3], valid [..., 4]):
     up to 4 pose solutions per sample (quartic roots), camera-from-world.
+
+    ``dtype=jnp.float32`` runs the whole closed form in f32 — right for
+    RANSAC hypothesis generation on TPU (f64 is emulated there, ~10x),
+    where hypotheses only seed inlier classification and the winner is
+    re-refined in f64.
     """
-    world = world.astype(jnp.float64)
-    obs = obs.astype(jnp.float64)
+    world = world.astype(dtype)
+    obs = obs.astype(dtype)
     # unit bearing vectors
     f = jnp.concatenate([obs, jnp.ones_like(obs[..., :1])], axis=-1)
     f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
@@ -145,10 +150,10 @@ def p3p_grunert(world, obs):
     cam = jnp.stack([cam1, cam2, cam3], axis=-2)  # [..., 4, 3pts, 3]
     worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
     R, t = absolute_orientation(worldr, cam, dtype=jnp.float32)
-    return R.astype(jnp.float64), t.astype(jnp.float64), ok
+    return R.astype(dtype), t.astype(dtype), ok
 
 
-def p3p_finsterwalder(world, obs):
+def p3p_finsterwalder(world, obs, dtype=jnp.float64):
     """Finsterwalder's P3P (P3PFinsterwalder.java analog), batched.
 
     Same interface as :func:`p3p_grunert` — world [..., 3, 3],
@@ -163,8 +168,8 @@ def p3p_finsterwalder(world, obs):
     """
     from boofcv_tpu.geo.epipolar import _cubic_roots
 
-    world = world.astype(jnp.float64)
-    obs = obs.astype(jnp.float64)
+    world = world.astype(dtype)
+    obs = obs.astype(dtype)
     f = jnp.concatenate([obs, jnp.ones_like(obs[..., :1])], axis=-1)
     f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
     f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :]
@@ -319,7 +324,7 @@ def p3p_finsterwalder(world, obs):
     cam = jnp.stack([cam1, cam2, cam3], axis=-2)
     worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
     R, t = absolute_orientation(worldr, cam, dtype=jnp.float32)
-    return R.astype(jnp.float64), t.astype(jnp.float64), ok
+    return R.astype(dtype), t.astype(dtype), ok
 
 
 def pnp_dlt(world, obs):
@@ -477,21 +482,15 @@ def reprojection_error_sq(R, t, world, obs):
     return jnp.where(zc <= 0, jnp.inf, err)
 
 
-def gauss_newton_pose(R, t, world, obs, weights=None, iterations: int = 10,
-                      damping: float = 1e-8):
-    """Weighted GN pose refinement with the ANALYTIC reprojection
-    Jacobian (left-perturbation: Xc' = exp(w)Xc + v, so
-    dXc/d(w,v) = [-hat(Xc) | I] and dproj/dXc is the standard pinhole
-    2x3) — one residual pass per iteration instead of jacfwd's six
-    tangent passes, which matters on TPU where f64 is emulated.
-    """
-    world = world.astype(jnp.float64)
-    obs = obs.astype(jnp.float64)
-    if weights is None:
-        weights = jnp.ones(world.shape[:-1], jnp.float64)
-    wgt = weights.astype(jnp.float64)
+def _gn_pose_loop(R, t, world, obs, wgt, iterations, damping, dtype,
+                  step_tol):
+    """One precision tier of the GN pose loop (see gauss_newton_pose)."""
+    world = world.astype(dtype)
+    obs = obs.astype(dtype)
+    wgt = wgt.astype(dtype)
+    damping = jnp.asarray(damping, dtype)
 
-    def body(_, state):
+    def body(state):
         R0, t0 = state
         Xc = world @ R0.T + t0
         z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-12, 1e-12, Xc[..., 2])
@@ -515,7 +514,7 @@ def gauss_newton_pose(R, t, world, obs, weights=None, iterations: int = 10,
                        precision=jax.lax.Precision.HIGHEST)
         g = jnp.einsum("nij,ni->j", J, r * w2,
                        precision=jax.lax.Precision.HIGHEST)
-        H = H + damping * jnp.eye(6, dtype=jnp.float64)
+        H = H + damping * jnp.eye(6, dtype=dtype)
         L6 = jnp.linalg.cholesky(H)
         y6 = jax.scipy.linalg.solve_triangular(L6, g, lower=True)
         dx = -jax.scipy.linalg.solve_triangular(L6.T, y6, lower=False)
@@ -524,21 +523,56 @@ def gauss_newton_pose(R, t, world, obs, weights=None, iterations: int = 10,
         return Rn, tn, jnp.max(jnp.abs(dx))
 
     # early exit once the step stalls: GN on reprojection converges
-    # quadratically, typically 3-4 iterations — f64 iterations are
-    # expensive on TPU (emulated), so don't run the fixed max
+    # quadratically, typically 3-4 iterations
     def cond(state):
         it, _, _, step = state
-        return (it < iterations) & (step > 1e-14)
+        return (it < iterations) & (step > step_tol)
 
     def wbody(state):
         it, R0, t0, _ = state
-        Rn, tn, step = body(it, (R0, t0))
+        Rn, tn, step = body((R0, t0))
         return it + 1, Rn, tn, step
 
     _, R, t, _ = jax.lax.while_loop(
-        cond, wbody, (jnp.int32(0), R.astype(jnp.float64),
-                      t.astype(jnp.float64), jnp.float64(1.0)))
+        cond, wbody, (jnp.int32(0), R.astype(dtype),
+                      t.astype(dtype), jnp.asarray(1.0, dtype)))
     return R, t
+
+
+def gauss_newton_pose(R, t, world, obs, weights=None, iterations: int = 10,
+                      damping: float = 1e-8, polish_iterations: int = 2):
+    """Weighted GN pose refinement with the ANALYTIC reprojection
+    Jacobian (left-perturbation: Xc' = exp(w)Xc + v, so
+    dXc/d(w,v) = [-hat(Xc) | I] and dproj/dXc is the standard pinhole
+    2x3) — one residual pass per iteration instead of jacfwd's six
+    tangent passes.
+
+    Mixed precision for TPU (where f64 is software-emulated, ~10x):
+    the convergence iterations run in f32 — GN's quadratic convergence
+    reaches f32 machine accuracy in 3-4 steps — then
+    ``polish_iterations`` full-f64 steps land the solution at f64
+    accuracy (each f64 step squares the error of the f32 estimate).
+    Set ``polish_iterations=iterations`` to force the all-f64 path.
+    """
+    if weights is None:
+        weights = jnp.ones(world.shape[:-1], jnp.float64)
+    fast_iters = iterations - polish_iterations
+    if fast_iters > 0:
+        R, t = _gn_pose_loop(R, t, world, obs, weights, fast_iters,
+                             max(damping, 1e-12), jnp.float32, 1e-6)
+        # the f32 loop leaves R orthogonal only to ~1e-7, and exp-update
+        # composition preserves that off-manifold error forever (GN then
+        # floors at 1e-7).  Newton polar iteration R(3I - R^T R)/2 restores
+        # orthogonality quadratically — two steps reach f64 accuracy —
+        # without SVD (f32 SVD crashes the TPU compiler).
+        R = R.astype(jnp.float64)
+        for _ in range(2):
+            R = R @ (1.5 * jnp.eye(3, dtype=jnp.float64) - 0.5 * (R.T @ R))
+    if polish_iterations > 0:
+        R, t = _gn_pose_loop(R, t, world, obs, weights,
+                             min(polish_iterations, iterations),
+                             damping, jnp.float64, 1e-14)
+    return R.astype(jnp.float64), t.astype(jnp.float64)
 
 
 def refine_pnp(R, t, world, obs, iterations: int = 10, damping: float = 1e-8):

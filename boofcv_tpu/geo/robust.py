@@ -233,6 +233,13 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
     p3p: "grunert" (quartic) or "finsterwalder" (cubic; the reference
     example's EnumPNP.P3P_FINSTERWALDER).  Returns
     (RansacResult, (R_refined, t_refined)).
+
+    The whole hypothesis bank (minimal solves + scoring) runs in f32 —
+    TPU-native precision; f64 there is software-emulated and was the
+    single hottest stage of the VO step.  Hypotheses only seed inlier
+    classification (threshold ~1e-3 normalized units vs f32's ~1e-7
+    resolution); the winning model is then GN-refined with an f64
+    polish, so the returned pose is full precision.
     """
     from boofcv_tpu.geo import pnp
 
@@ -241,7 +248,7 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
 
     def solver(sample):
         w, o = sample
-        R4, t4, ok = minimal(w, o)
+        R4, t4, ok = minimal(w, o, dtype=jnp.float32)
         return R4, t4, ok
 
     def scorer(model, points):
