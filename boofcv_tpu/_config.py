@@ -13,9 +13,39 @@ Reference analog: BoofCV generates `_F32` twins of `_F64` geometry code
 dtype-polymorphic and the caller picks the precision.
 """
 
+import os
+
 import jax
 
 _X64_ENABLED = False
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable the JAX persistent compilation cache.
+
+    The VO sequence runner alone costs ~80 s to compile; caching makes the
+    second process invocation (bench rerun, test rerun, CLI) skip it.  Path
+    resolution: explicit arg > $BOOFCV_TPU_CACHE > ~/.cache/boofcv_tpu_xla.
+    Set BOOFCV_TPU_CACHE=0 to disable.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    env = os.environ.get("BOOFCV_TPU_CACHE", "")
+    if env == "0":
+        return
+    if path is None:
+        path = env or os.path.expanduser("~/.cache/boofcv_tpu_xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache even when only one process compiles (default excludes some)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _CACHE_ENABLED = True
+    except Exception:  # older jax without these flags — run uncached
+        pass
 
 
 def enable_x64_for_geometry() -> None:
@@ -26,3 +56,4 @@ def enable_x64_for_geometry() -> None:
 
 
 enable_x64_for_geometry()
+enable_compilation_cache()

@@ -1,11 +1,11 @@
-"""QR code symbol encode/decode (module-matrix level).
+"""QR code symbol encode/decode (module-matrix level), versions 1-40.
 
 Reference analog: boofcv-recognition alg/fiducial/qrcode/ —
-QrCodeEncoder.java / QrCodeGeneratorImage (construction),
-QrCodeDecoderBits.java (bit stream + RS), QrCodeMaskPattern.java,
-QrCodeCodeWordLocations (placement), QrCode.java VERSION_INFO tables.
+QrCodeEncoder.java (segment construction, numeric/alphanumeric/byte/kanji
+modes, auto version+mask selection), QrCodeDecoderBits.java (bit stream +
+RS + mode parsing), QrCodeMaskPattern.java, QrCodeCodeWordLocations
+(zigzag placement), QrCode.java VERSION_INFO tables (MAX_VERSION=40).
 
-Scope: versions 1-10, byte mode, all four error levels, all masks.
 Image-plane localization lives in qr/detector.py; this module works on
 the boolean module matrix (True = dark).
 """
@@ -15,34 +15,10 @@ from __future__ import annotations
 import numpy as np
 
 from boofcv_tpu.recognition.qr.reed_solomon import ReedSolomon
-
-# (version, level) -> (ecc_per_block, [(num_blocks, data_codewords), ...])
-BLOCKS = {
-    (1, "L"): (7, [(1, 19)]), (1, "M"): (10, [(1, 16)]),
-    (1, "Q"): (13, [(1, 13)]), (1, "H"): (17, [(1, 9)]),
-    (2, "L"): (10, [(1, 34)]), (2, "M"): (16, [(1, 28)]),
-    (2, "Q"): (22, [(1, 22)]), (2, "H"): (28, [(1, 16)]),
-    (3, "L"): (15, [(1, 55)]), (3, "M"): (26, [(1, 44)]),
-    (3, "Q"): (18, [(2, 17)]), (3, "H"): (22, [(2, 13)]),
-    (4, "L"): (20, [(1, 80)]), (4, "M"): (18, [(2, 32)]),
-    (4, "Q"): (26, [(2, 24)]), (4, "H"): (16, [(4, 9)]),
-    (5, "L"): (26, [(1, 108)]), (5, "M"): (24, [(2, 43)]),
-    (5, "Q"): (18, [(2, 15), (2, 16)]), (5, "H"): (22, [(2, 11), (2, 12)]),
-    (6, "L"): (18, [(2, 68)]), (6, "M"): (16, [(4, 27)]),
-    (6, "Q"): (24, [(4, 19)]), (6, "H"): (28, [(4, 15)]),
-    (7, "L"): (20, [(2, 78)]), (7, "M"): (18, [(4, 31)]),
-    (7, "Q"): (18, [(2, 14), (4, 15)]), (7, "H"): (26, [(4, 13), (1, 14)]),
-    (8, "L"): (24, [(2, 97)]), (8, "M"): (22, [(2, 38), (2, 39)]),
-    (8, "Q"): (22, [(4, 18), (2, 19)]), (8, "H"): (26, [(4, 14), (2, 15)]),
-    (9, "L"): (30, [(2, 116)]), (9, "M"): (22, [(3, 36), (2, 37)]),
-    (9, "Q"): (20, [(4, 16), (4, 17)]), (9, "H"): (24, [(4, 12), (4, 13)]),
-    (10, "L"): (18, [(2, 68), (2, 69)]), (10, "M"): (26, [(4, 43), (1, 44)]),
-    (10, "Q"): (24, [(6, 19), (2, 20)]), (10, "H"): (28, [(6, 15), (2, 16)]),
-}
-
-ALIGNMENT = {1: [], 2: [6, 18], 3: [6, 22], 4: [6, 26], 5: [6, 30],
-             6: [6, 34], 7: [6, 22, 38], 8: [6, 24, 42], 9: [6, 26, 46],
-             10: [6, 28, 50]}
+from boofcv_tpu.recognition.qr.tables import (
+    ALIGNMENT, ALPHANUMERIC_CHARS, ALPHANUMERIC_VALUE, BLOCKS, MAX_VERSION,
+    MODE_ALPHANUMERIC, MODE_BYTE, MODE_ECI, MODE_KANJI, MODE_NUMERIC,
+    count_bits, data_capacity_bytes, total_codewords)
 
 LEVEL_BITS = {"L": 0b01, "M": 0b00, "Q": 0b11, "H": 0b10}
 BITS_LEVEL = {v: k for k, v in LEVEL_BITS.items()}
@@ -69,9 +45,14 @@ def _bch_format(data5: int) -> int:
     return ((data5 << 10) | v) ^ 0b101010000010010
 
 
-def data_capacity_bytes(version: int, level: str) -> int:
-    ecc, blocks = BLOCKS[(version, level)]
-    return sum(n * d for n, d in blocks)
+def _bch_version(version: int) -> int:
+    """18-bit version info: 6 data bits + 12 BCH bits (v >= 7 only)."""
+    g = 0b1111100100101
+    v = version << 12
+    for i in range(17, 11, -1):
+        if v & (1 << i):
+            v ^= g << (i - 12)
+    return (version << 12) | v
 
 
 def _function_mask(version: int) -> np.ndarray:
@@ -128,6 +109,13 @@ def _draw_function_patterns(mat: np.ndarray, version: int) -> None:
                 for dc in range(-2, 3):
                     mat[cy + dr, cx + dc] = max(abs(dr), abs(dc)) != 1
     mat[n - 8, 8] = True  # dark module
+    if version >= 7:
+        vi = _bch_version(version)
+        # 18 bits, LSB first: module (i%3 offset, i//3) in the two blocks
+        for i in range(18):
+            bit = bool((vi >> i) & 1)
+            mat[n - 11 + i % 3, i // 3] = bit      # lower-left block
+            mat[i // 3, n - 11 + i % 3] = bit      # upper-right block
 
 
 def _place_bits(version: int):
@@ -150,20 +138,125 @@ def _place_bits(version: int):
     return order
 
 
-def _build_codewords(data: bytes, version: int, level: str) -> list:
-    cap = data_capacity_bytes(version, level)
+# ---------------------------------------------------------------------------
+# Segment encoding (QrCodeEncoder analog)
+# ---------------------------------------------------------------------------
+
+def _is_numeric(s: str) -> bool:
+    return len(s) > 0 and all("0" <= c <= "9" for c in s)
+
+
+def _is_alphanumeric(s: str) -> bool:
+    return len(s) > 0 and all(c in ALPHANUMERIC_VALUE for c in s)
+
+
+def _try_kanji(s: str):
+    """Return Shift-JIS bytes if every char is a double-byte SJIS char in
+    the QR kanji ranges, else None."""
+    try:
+        raw = s.encode("shift_jis")
+    except (UnicodeEncodeError, LookupError):
+        return None
+    if len(raw) != 2 * len(s):
+        return None
+    for i in range(0, len(raw), 2):
+        hi = raw[i]
+        if not (0x81 <= hi <= 0x9F or 0xE0 <= hi <= 0xEB):
+            return None
+    return raw
+
+
+def select_mode(s: str) -> int:
+    """Smallest-output mode able to hold the whole string
+    (QrCodeEncoder.autoSelect analog — single segment)."""
+    if _is_numeric(s):
+        return MODE_NUMERIC
+    if _is_alphanumeric(s):
+        return MODE_ALPHANUMERIC
+    if _try_kanji(s) is not None:
+        return MODE_KANJI
+    return MODE_BYTE
+
+
+def _segment_bits(s: str, mode: int, version: int) -> list:
+    """Bit list for one segment: mode + count + payload."""
     bits = []
 
     def put(val, nbits):
         for i in range(nbits - 1, -1, -1):
             bits.append((val >> i) & 1)
 
-    put(0b0100, 4)                       # byte mode
-    put(len(data), 8 if version <= 9 else 16)
-    for b in data:
-        put(b, 8)
-    # terminator + byte alignment
-    put(0, min(4, cap * 8 - len(bits)))
+    put(mode, 4)
+    if mode == MODE_NUMERIC:
+        put(len(s), count_bits(mode, version))
+        for i in range(0, len(s), 3):
+            grp = s[i:i + 3]
+            put(int(grp), {1: 4, 2: 7, 3: 10}[len(grp)])
+    elif mode == MODE_ALPHANUMERIC:
+        put(len(s), count_bits(mode, version))
+        for i in range(0, len(s), 2):
+            grp = s[i:i + 2]
+            if len(grp) == 2:
+                put(ALPHANUMERIC_VALUE[grp[0]] * 45
+                    + ALPHANUMERIC_VALUE[grp[1]], 11)
+            else:
+                put(ALPHANUMERIC_VALUE[grp[0]], 6)
+    elif mode == MODE_KANJI:
+        raw = _try_kanji(s)
+        if raw is None:
+            raise ValueError("string is not QR-kanji encodable")
+        put(len(s), count_bits(mode, version))
+        for i in range(0, len(raw), 2):
+            word = (raw[i] << 8) | raw[i + 1]
+            if 0x8140 <= word <= 0x9FFC:
+                word -= 0x8140
+            elif 0xE040 <= word <= 0xEBBF:
+                word -= 0xC140
+            else:
+                raise ValueError("byte pair outside QR kanji ranges")
+            put((word >> 8) * 0xC0 + (word & 0xFF), 13)
+    elif mode == MODE_BYTE:
+        data = s.encode("utf8") if isinstance(s, str) else bytes(s)
+        put(len(data), count_bits(mode, version))
+        for b in data:
+            put(b, 8)
+    else:
+        raise ValueError(f"unsupported mode {mode}")
+    return bits
+
+
+def _payload_bit_len(s, mode: int, version: int) -> int:
+    """Exact bit length of a segment without building it."""
+    k = len(s)
+    if mode == MODE_NUMERIC:
+        body = 10 * (k // 3) + {0: 0, 1: 4, 2: 7}[k % 3]
+    elif mode == MODE_ALPHANUMERIC:
+        body = 11 * (k // 2) + 6 * (k % 2)
+    elif mode == MODE_KANJI:
+        body = 13 * k
+    else:
+        data = s.encode("utf8") if isinstance(s, str) else bytes(s)
+        body = 8 * len(data)
+    return 4 + count_bits(mode, version) + body
+
+
+def pick_version(s, mode: int, level: str) -> int:
+    """Smallest version whose data capacity fits the single segment."""
+    for version in range(1, MAX_VERSION + 1):
+        if _payload_bit_len(s, mode, version) <= \
+                8 * data_capacity_bytes(version, level):
+            return version
+    raise ValueError("message too long for any QR version")
+
+
+def _build_codewords(s, version: int, level: str, mode: int) -> list:
+    cap = data_capacity_bytes(version, level)
+    bits = _segment_bits(s, mode, version)
+    if len(bits) > cap * 8:
+        raise ValueError(
+            f"message needs {len(bits)} bits; v{version}-{level} holds {cap * 8}")
+    # terminator + byte alignment + pad codewords
+    bits += [0] * min(4, cap * 8 - len(bits))
     while len(bits) % 8:
         bits.append(0)
     cw = [int("".join(map(str, bits[i:i + 8])), 2)
@@ -216,14 +309,70 @@ def _deinterleave(stream: list, version: int, level: str):
     return datas, eccs
 
 
-def encode(text: str | bytes, version: int = 2, level: str = "M",
-           mask: int = 0) -> np.ndarray:
-    """Encode text into a boolean module matrix (True = dark)."""
-    data = text.encode("utf8") if isinstance(text, str) else bytes(text)
+# ---------------------------------------------------------------------------
+# Mask penalty (QrCodeMaskPattern selection rules N1-N4)
+# ---------------------------------------------------------------------------
+
+def mask_penalty(mat: np.ndarray) -> int:
+    m = np.asarray(mat, bool)
+    n = m.shape[0]
+    score = 0
+    # N1: runs of >= 5 same-color modules, rows and cols
+    for arr in (m, m.T):
+        for row in arr:
+            run = 1
+            for i in range(1, n):
+                if row[i] == row[i - 1]:
+                    run += 1
+                else:
+                    if run >= 5:
+                        score += 3 + (run - 5)
+                    run = 1
+            if run >= 5:
+                score += 3 + (run - 5)
+    # N2: 2x2 blocks of same color
+    same = (m[:-1, :-1] == m[1:, :-1]) & (m[:-1, :-1] == m[:-1, 1:]) \
+        & (m[:-1, :-1] == m[1:, 1:])
+    score += 3 * int(np.sum(same))
+    # N3: finder-like 1:1:3:1:1 pattern with 4 light on either side
+    pat = np.array([1, 0, 1, 1, 1, 0, 1, 0, 0, 0, 0], bool)
+    for needle in (pat, pat[::-1]):
+        k = len(needle)
+        for arr in (m, m.T):
+            for row in arr:
+                for i in range(n - k + 1):
+                    if np.array_equal(row[i:i + k], needle):
+                        score += 40
+    # N4: dark-module proportion deviation from 50%
+    dark = int(np.sum(m))
+    pct = 100 * dark / (n * n)
+    score += 10 * int(abs(pct - 50) // 5)
+    return score
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode
+# ---------------------------------------------------------------------------
+
+def encode(text: str | bytes, version: int | None = None, level: str = "M",
+           mask: int | None = None, mode: int | None = None) -> np.ndarray:
+    """Encode text into a boolean module matrix (True = dark).
+
+    version=None picks the smallest version that fits; mode=None picks
+    numeric/alphanumeric/kanji/byte automatically; mask=None selects the
+    lowest-penalty mask (ISO rules N1-N4), as QrCodeEncoder does.
+    """
+    if isinstance(text, (bytes, bytearray)):
+        s = bytes(text)
+        mode = MODE_BYTE if mode is None else mode
+    else:
+        s = text
+        if mode is None:
+            mode = select_mode(s)
+    if version is None:
+        version = pick_version(s, mode, level)
     n = 4 * version + 17
-    mat = np.zeros((n, n), bool)
-    _draw_function_patterns(mat, version)
-    cw = _build_codewords(data, version, level)
+    cw = _build_codewords(s, version, level, mode)
     stream = _interleave(cw, version, level)
     order = _place_bits(version)
     bits = []
@@ -231,31 +380,45 @@ def encode(text: str | bytes, version: int = 2, level: str = "M",
         for i in range(7, -1, -1):
             bits.append((c >> i) & 1)
     bits += [0] * (len(order) - len(bits))
-    mfn = MASKS[mask]
-    for (r, c), b in zip(order, bits):
-        mat[r, c] = bool(b) ^ mfn(r, c)
-    # format info
-    fmt = _bch_format((LEVEL_BITS[level] << 3) | mask)
-    fbits = [(fmt >> i) & 1 for i in range(14, -1, -1)]
-    coords_a = [(8, 0), (8, 1), (8, 2), (8, 3), (8, 4), (8, 5), (8, 7),
-                (8, 8), (7, 8), (5, 8), (4, 8), (3, 8), (2, 8), (1, 8), (0, 8)]
-    coords_b = [(n - 1, 8), (n - 2, 8), (n - 3, 8), (n - 4, 8), (n - 5, 8),
-                (n - 6, 8), (n - 7, 8), (8, n - 8), (8, n - 7), (8, n - 6),
-                (8, n - 5), (8, n - 4), (8, n - 3), (8, n - 2), (8, n - 1)]
-    for (r, c), b in zip(coords_a, fbits):
-        mat[r, c] = bool(b)
-    for (r, c), b in zip(coords_b, fbits):
-        mat[r, c] = bool(b)
-    return mat
+
+    def render(mask_id: int) -> np.ndarray:
+        mat = np.zeros((n, n), bool)
+        _draw_function_patterns(mat, version)
+        mfn = MASKS[mask_id]
+        for (r, c), b in zip(order, bits):
+            mat[r, c] = bool(b) ^ mfn(r, c)
+        fmt = _bch_format((LEVEL_BITS[level] << 3) | mask_id)
+        fbits = [(fmt >> i) & 1 for i in range(14, -1, -1)]
+        for (r, c), b in zip(_format_coords_a(n), fbits):
+            mat[r, c] = bool(b)
+        for (r, c), b in zip(_format_coords_b(n), fbits):
+            mat[r, c] = bool(b)
+        return mat
+
+    if mask is not None:
+        return render(mask)
+    best_mat, best_pen = None, None
+    for mid in range(8):
+        cand = render(mid)
+        pen = mask_penalty(cand)
+        if best_pen is None or pen < best_pen:
+            best_mat, best_pen = cand, pen
+    return best_mat
+
+
+def _format_coords_a(n):
+    return [(8, 0), (8, 1), (8, 2), (8, 3), (8, 4), (8, 5), (8, 7),
+            (8, 8), (7, 8), (5, 8), (4, 8), (3, 8), (2, 8), (1, 8), (0, 8)]
+
+
+def _format_coords_b(n):
+    return [(n - 1, 8), (n - 2, 8), (n - 3, 8), (n - 4, 8), (n - 5, 8),
+            (n - 6, 8), (n - 7, 8), (8, n - 8), (8, n - 7), (8, n - 6),
+            (8, n - 5), (8, n - 4), (8, n - 3), (8, n - 2), (8, n - 1)]
 
 
 def _read_format(mat: np.ndarray):
     n = mat.shape[0]
-    coords_a = [(8, 0), (8, 1), (8, 2), (8, 3), (8, 4), (8, 5), (8, 7),
-                (8, 8), (7, 8), (5, 8), (4, 8), (3, 8), (2, 8), (1, 8), (0, 8)]
-    coords_b = [(n - 1, 8), (n - 2, 8), (n - 3, 8), (n - 4, 8), (n - 5, 8),
-                (n - 6, 8), (n - 7, 8), (8, n - 8), (8, n - 7), (8, n - 6),
-                (8, n - 5), (8, n - 4), (8, n - 3), (8, n - 2), (8, n - 1)]
 
     def try_read(coords):
         v = 0
@@ -270,12 +433,105 @@ def _read_format(mat: np.ndarray):
                 bd, best = dist, d5
         return best if bd <= 3 else None
 
-    d5 = try_read(coords_a)
+    d5 = try_read(_format_coords_a(n))
     if d5 is None:
-        d5 = try_read(coords_b)
+        d5 = try_read(_format_coords_b(n))
     if d5 is None:
         return None
     return BITS_LEVEL[(d5 >> 3) & 0b11], d5 & 0b111
+
+
+def read_version_info(mat: np.ndarray):
+    """Read + BCH-correct the 18-bit version info blocks (v >= 7).
+    Returns the decoded version or None."""
+    n = mat.shape[0]
+    for block in ("ll", "ur"):
+        v = 0
+        for i in range(18):
+            if block == "ll":
+                bit = int(mat[n - 11 + i % 3, i // 3])
+            else:
+                bit = int(mat[i // 3, n - 11 + i % 3])
+            v |= bit << i
+        best, bd = None, 99
+        for ver in range(7, MAX_VERSION + 1):
+            dist = bin(_bch_version(ver) ^ v).count("1")
+            if dist < bd:
+                bd, best = dist, ver
+        if bd <= 3:
+            return best
+    return None
+
+
+def _parse_bitstream(corrected: list, version: int):
+    """Parse the corrected data codewords into bytes — all four modes +
+    ECI, segments concatenated until the terminator
+    (QrCodeDecoderBits.decodeMessage analog)."""
+    bits = []
+    for c in corrected:
+        for i in range(7, -1, -1):
+            bits.append((c >> i) & 1)
+    pos = 0
+    out = bytearray()
+
+    def take(k):
+        nonlocal pos
+        if pos + k > len(bits):
+            raise IndexError("bitstream exhausted")
+        v = 0
+        for b in bits[pos:pos + k]:
+            v = (v << 1) | b
+        pos += k
+        return v
+
+    try:
+        while pos + 4 <= len(bits):
+            mode = take(4)
+            if mode == 0:          # terminator
+                break
+            if mode == MODE_ECI:
+                # ECI designator: 8/16/24 bits by leading-ones prefix
+                first = take(8)
+                if first >= 0xC0:
+                    take(16)
+                elif first >= 0x80:
+                    take(8)
+                continue
+            count = take(count_bits(mode, version))
+            if mode == MODE_NUMERIC:
+                left = count
+                while left >= 3:
+                    out += f"{take(10):03d}".encode()
+                    left -= 3
+                if left == 2:
+                    out += f"{take(7):02d}".encode()
+                elif left == 1:
+                    out += f"{take(4):01d}".encode()
+            elif mode == MODE_ALPHANUMERIC:
+                left = count
+                while left >= 2:
+                    v = take(11)
+                    out += ALPHANUMERIC_CHARS[v // 45].encode()
+                    out += ALPHANUMERIC_CHARS[v % 45].encode()
+                    left -= 2
+                if left:
+                    out += ALPHANUMERIC_CHARS[take(6)].encode()
+            elif mode == MODE_BYTE:
+                for _ in range(count):
+                    out.append(take(8))
+            elif mode == MODE_KANJI:
+                raw = bytearray()
+                for _ in range(count):
+                    v = take(13)
+                    word = (v // 0xC0) << 8 | (v % 0xC0)
+                    word += 0x8140 if word < 0x1F00 else 0xC140
+                    raw += bytes([word >> 8, word & 0xFF])
+                out += raw.decode("shift_jis").encode("utf8")
+            else:
+                return None, {"error": f"unsupported mode {mode:04b}"}
+    except IndexError:
+        return None, {"error": "bitstream truncated"}
+    return bytes(out), {}
 
 
 def decode(mat: np.ndarray):
@@ -284,8 +540,14 @@ def decode(mat: np.ndarray):
     mat = np.asarray(mat, bool)
     n = mat.shape[0]
     version = (n - 17) // 4
-    if version < 1 or version > 10 or 4 * version + 17 != n:
+    if version < 1 or version > MAX_VERSION or 4 * version + 17 != n:
         return None, {"error": "bad size"}
+    if version >= 7:
+        # the matrix size fixes the placement grid; version info is a
+        # cross-check (a mismatch means a corrupt/non-QR matrix)
+        vi = read_version_info(mat)
+        if vi is not None and vi != version:
+            return None, {"error": "version info mismatch"}
     f = _read_format(mat)
     if f is None:
         return None, {"error": "format"}
@@ -294,8 +556,7 @@ def decode(mat: np.ndarray):
     order = _place_bits(version)
     bits = [int(mat[r, c]) ^ int(mfn(r, c)) for (r, c) in order]
     ecc_n, blocks = BLOCKS[(version, level)]
-    total = data_capacity_bytes(version, level) + ecc_n * sum(
-        c for c, _ in blocks)
+    total = total_codewords(version, level)
     stream = [int("".join(map(str, bits[i:i + 8])), 2)
               for i in range(0, total * 8, 8)]
     datas, eccs = _deinterleave(stream, version, level)
@@ -308,22 +569,8 @@ def decode(mat: np.ndarray):
             return None, {"error": "ecc"}
         corrected += dec[: len(d)]
         n_err_total += ne
-    # parse byte mode
-    bitstream = []
-    for c in corrected:
-        for i in range(7, -1, -1):
-            bitstream.append((c >> i) & 1)
-
-    def take(k):
-        nonlocal bitstream
-        v = int("".join(map(str, bitstream[:k])), 2)
-        bitstream = bitstream[k:]
-        return v
-
-    mode = take(4)
-    if mode != 0b0100:
-        return None, {"error": f"unsupported mode {mode:04b}"}
-    count = take(8 if version <= 9 else 16)
-    out = bytes(take(8) for _ in range(count))
+    out, info = _parse_bitstream(corrected, version)
+    if out is None:
+        return None, info
     return out, {"version": version, "level": level, "mask": mask,
                  "errors_corrected": n_err_total}

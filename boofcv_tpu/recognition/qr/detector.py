@@ -109,9 +109,15 @@ def _order_finders(quads):
     return (cs[tl], cs[o1], cs[o2]), (quads[tl], quads[o1], quads[o2])
 
 
-def detect_and_decode(image, versions=range(1, 11)):
+def detect_and_decode(image, versions=None):
     """Find one QR code and decode it.  Returns (bytes, info) or
-    (None, reason)."""
+    (None, reason).
+
+    versions=None estimates the version from the finder-pattern geometry
+    (module size from the quad side, grid span from center spacing —
+    QrCodeDecoderImage's approach) and tries the estimate +/- 1; pass an
+    iterable to override.
+    """
     quads = find_position_patterns(image)
     if len(quads) > 3:  # keep the 3 largest (alignment patterns are smaller)
         areas = [0.5 * abs((q[2] - q[0])[0] * (q[3] - q[1])[1]
@@ -121,12 +127,26 @@ def detect_and_decode(image, versions=range(1, 11)):
     ordered = _order_finders(quads)
     if ordered is None:
         return None, {"error": f"found {len(quads)} finder patterns"}
-    (ctl, ctr, cbl), _ = ordered
+    (ctl, ctr, cbl), oquads = ordered
     # estimate version from finder spacing: centers are 3.5 modules from
     # the corner; distance tl->tr = (n - 7) modules
     dist = (np.linalg.norm(ctr - ctl) + np.linalg.norm(cbl - ctl)) / 2.0
     gray = np.asarray(image, np.float32)
     t = float(th_mod.compute_otsu(jnp.asarray(gray)))
+
+    if versions is None:
+        # module size from the quad side.  The contour fit may have locked
+        # onto the outer ring (7 modules), the inner white hole (5) or the
+        # core (3) of the finder, so try each interpretation, best first.
+        side = np.mean([np.mean([np.linalg.norm(q[i] - q[(i + 1) % 4])
+                                 for i in range(4)]) for q in oquads])
+        versions = []
+        for modules_across in (5.0, 7.0, 3.0):
+            n_est = dist / (side / modules_across) + 7.0
+            v_est = int(round((n_est - 17.0) / 4.0))
+            for v in (v_est, v_est - 1, v_est + 1):
+                if 1 <= v <= qr_code.MAX_VERSION and v not in versions:
+                    versions.append(v)
 
     for version in versions:
         n = 4 * version + 17

@@ -95,3 +95,79 @@ def test_qr_detect_with_noise_and_offset():
     out, info = detector.detect_and_decode(big)
     assert out is not None, info
     assert out.decode("utf8") == text
+
+
+@pytest.mark.parametrize("version,level", [(11, "M"), (14, "Q"), (20, "L"),
+                                           (26, "H"), (32, "M"), (40, "L")])
+def test_qr_roundtrip_high_versions(version, level):
+    """Versions beyond 10 (QrCode.java MAX_VERSION=40): block interleave,
+    version-info BCH blocks, 16-bit byte counts."""
+    cap = qr.data_capacity_bytes(version, level)
+    text = ("high version payload / " * 400)[: max(cap - 8, 1)]
+    mat = qr.encode(text, version, level, mask=4)
+    assert mat.shape[0] == 4 * version + 17
+    if version >= 7:
+        assert qr.read_version_info(mat) == version
+    out, info = qr.decode(mat)
+    assert out is not None, info
+    assert out.decode("utf8") == text
+    assert info["version"] == version
+
+
+def test_qr_numeric_mode():
+    text = "01234567899876543210" * 3
+    mat = qr.encode(text)  # auto mode -> numeric, auto version, auto mask
+    out, info = qr.decode(mat)
+    assert out is not None, info
+    assert out.decode() == text
+    # numeric packs ~3x denser than byte: must fit in a smaller symbol
+    assert mat.shape[0] < qr.encode(text, mode=qr.MODE_BYTE).shape[0] \
+        or mat.shape[0] == 21
+
+
+def test_qr_alphanumeric_mode():
+    text = "HELLO WORLD 123 $%*+-./:"
+    mat = qr.encode(text, level="Q")
+    out, info = qr.decode(mat)
+    assert out is not None, info
+    assert out.decode() == text
+
+
+def test_qr_kanji_mode():
+    text = "漢字テスト"  # kanji + katakana, SJIS 2-byte
+    assert qr.select_mode(text) == qr.MODE_KANJI
+    mat = qr.encode(text)
+    out, info = qr.decode(mat)
+    assert out is not None, info
+    assert out.decode("utf8") == text
+
+
+def test_qr_auto_version_selection():
+    short = qr.encode("hi")
+    assert short.shape[0] == 21  # version 1
+    long = qr.encode("x" * 1200, level="L")
+    v = (long.shape[0] - 17) // 4
+    assert v >= 20
+    out, _ = qr.decode(long)
+    assert out.decode() == "x" * 1200
+
+
+def test_qr_mask_auto_selection_penalty():
+    mat = qr.encode("penalty-based mask", version=2, level="M")  # mask=None
+    out, info = qr.decode(mat)
+    assert out is not None and out.decode() == "penalty-based mask"
+    # the chosen mask must be at least as good as every explicit mask
+    pens = [qr.mask_penalty(qr.encode("penalty-based mask", 2, "M", m))
+            for m in range(8)]
+    assert qr.mask_penalty(mat) == min(pens)
+
+
+def test_qr_detector_high_version():
+    from boofcv_tpu.recognition.qr import detector
+    text = "version estimation from finder geometry " * 3
+    mat = qr.encode(text, version=12, level="M")
+    img = detector.render(mat, module_px=4)
+    out, info = detector.detect_and_decode(img)
+    assert out is not None, info
+    assert out.decode() == text
+    assert info["version"] == 12
