@@ -71,6 +71,33 @@ def absolute_orientation(world, cam, dtype=jnp.float64):
     return R, t
 
 
+def rigid_from_three_points(world, cam):
+    """Closed-form rigid alignment for EXACTLY three exact correspondences.
+
+    world, cam: [..., 3, 3] (three points, xyz).  Returns (R, t) with
+    cam_i = R @ world_i + t.  Builds the orthonormal triangle frame in
+    both coordinate systems and composes them — no eigh/SVD, pure
+    arithmetic, ~20x cheaper than Horn's quaternion method on TPU for
+    the P3P hypothesis path (where correspondences are exact by
+    construction, so least-squares generality buys nothing).
+    """
+    def frame(p):
+        u = p[..., 1, :] - p[..., 0, :]
+        v = p[..., 2, :] - p[..., 0, :]
+        e1 = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-30)
+        w = v - jnp.sum(v * e1, axis=-1, keepdims=True) * e1
+        e2 = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-30)
+        e3 = jnp.cross(e1, e2)
+        return jnp.stack([e1, e2, e3], axis=-1)      # columns
+    Bw = frame(world)
+    Bc = frame(cam)
+    R = Bc @ jnp.swapaxes(Bw, -1, -2)
+    cw = jnp.mean(world, axis=-2)
+    cc = jnp.mean(cam, axis=-2)
+    t = cc - (R @ cw[..., None])[..., 0]
+    return R, t
+
+
 def p3p_grunert(world, obs, dtype=jnp.float64):
     """Grunert's P3P (P3PGrunert.java), batched over hypotheses.
 
@@ -149,7 +176,8 @@ def p3p_grunert(world, obs, dtype=jnp.float64):
     cam3 = s3[..., None] * f3[..., None, :]
     cam = jnp.stack([cam1, cam2, cam3], axis=-2)  # [..., 4, 3pts, 3]
     worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
-    R, t = absolute_orientation(worldr, cam, dtype=jnp.float32)
+    R, t = rigid_from_three_points(worldr.astype(jnp.float32),
+                                   cam.astype(jnp.float32))
     return R.astype(dtype), t.astype(dtype), ok
 
 
@@ -323,7 +351,8 @@ def p3p_finsterwalder(world, obs, dtype=jnp.float64):
     cam3 = s3[..., None] * f3[..., None, :]
     cam = jnp.stack([cam1, cam2, cam3], axis=-2)
     worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
-    R, t = absolute_orientation(worldr, cam, dtype=jnp.float32)
+    R, t = rigid_from_three_points(worldr.astype(jnp.float32),
+                                   cam.astype(jnp.float32))
     return R.astype(dtype), t.astype(dtype), ok
 
 
