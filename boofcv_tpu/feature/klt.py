@@ -41,6 +41,12 @@ class KltConfig:
     max_per_pixel_error: float = 25.0
     min_determinant: float = 0.001
     convergence_tol: float = 0.01  # pixels at the level's scale
+    # "windowed": ONE Pallas window-gather per level per track, then
+    # every GN iteration resamples inside the window with two 2-tap
+    # interpolation matmuls — no gather on the iteration critical path
+    # (TPU gathers are element-serialized and dominate the "gather"
+    # method's cost).  "gather": flat image gather per iteration.
+    method: str = "windowed"
 
 
 class KltTemplates(NamedTuple):
@@ -81,6 +87,114 @@ def sample_templates(pyramid: Sequence[jnp.ndarray],
         gx.append(g1)
         gy.append(g2)
     return KltTemplates(tuple(desc), tuple(gx), tuple(gy))
+
+
+def _interp_matrix(frac, base, p, wsz, dtype):
+    """[N, p, wsz] two-tap bilinear row-interpolation matrix.
+
+    M[n, i, a] = (1-frac[n]) * [a == base[n]+i] + frac[n] * [a == base[n]+i+1]
+    so that (M @ window_rows) linearly interpolates p samples at positions
+    base+frac, base+frac+1, ... inside a wsz-wide window.
+    """
+    a = jnp.arange(wsz, dtype=jnp.int32)[None, None, :]
+    i = jnp.arange(p, dtype=jnp.int32)[None, :, None]
+    lo = base[:, None, None] + i
+    f = frac[:, None, None].astype(dtype)
+    return ((a == lo).astype(dtype) * (1 - f)
+            + (a == lo + 1).astype(dtype) * f)
+
+
+def _track_level_windowed(image, desc, gx, gy, cy, cx, cfg: KltConfig):
+    """One KLT level, gather-free GN loop (see KltConfig.method).
+
+    Gathers each track's (WY, WX) neighborhood once (Pallas
+    window-gather kernel — TPU XLA gathers are element-serialized and
+    ~15x slower), then every GN iteration resamples the (P, P) patch at
+    the current sub-pixel position as  Wy @ window @ Wx^T  with 2-tap
+    interpolation matrices — batched matmuls instead of gathers.  Tracks
+    whose motion within the level exceeds the window margin (~4 px,
+    beyond KLT's convergence basin anyway) clamp to the window edge and
+    are caught by the out-of-bounds fault.
+    """
+    from boofcv_tpu.kernels.window_gather import (
+        gather_windows, aligned_window_origin)
+    n = desc.shape[0]
+    r = cfg.template_radius
+    p = 2 * r + 1
+    wy_sz = 24 if p + 2 <= 16 else 32
+    wx_sz = 16 if p + 2 <= 16 else 32
+    h, w = image.shape
+    img = image if jnp.issubdtype(image.dtype, jnp.floating) \
+        else image.astype(jnp.float32)
+    dt = jnp.float32
+
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    area = p * p
+    ok_det = det / area >= cfg.min_determinant
+    safe_det = jnp.where(det == 0, 1.0, det)
+
+    cy = cy.astype(dt)
+    cx = cx.astype(dt)
+    oy, ox, py0, px0 = aligned_window_origin(cy, cx, r, h, w, wy_sz, wx_sz)
+    win = gather_windows(img, oy, ox, wy_sz, wx_sz)
+
+    # in-window patch top-left positions and their clamp bounds
+    margin_y = wy_sz - p - 1
+    margin_x = wx_sz - p - 1
+
+    def resample(py, px):
+        py = jnp.clip(py, 0.0, margin_y)
+        px = jnp.clip(px, 0.0, margin_x)
+        by = jnp.floor(py)
+        bx = jnp.floor(px)
+        wym = _interp_matrix(py - by, by.astype(jnp.int32), p, wy_sz, dt)
+        wxm = _interp_matrix(px - bx, bx.astype(jnp.int32), p, wx_sz, dt)
+        t = jnp.einsum("nab,njb->naj", win, wxm,
+                       precision=lax.Precision.HIGHEST)
+        return jnp.einsum("nia,naj->nij", wym, t,
+                          precision=lax.Precision.HIGHEST)
+
+    def body(state):
+        it, py, px, done, _ = state
+        cur = resample(py, px)
+        err = cur - desc
+        pp = jnp.mean(jnp.abs(err), axis=(1, 2))
+        bx_ = jnp.sum(err * gx, axis=(1, 2))
+        by_ = jnp.sum(err * gy, axis=(1, 2))
+        dx = (gyy * bx_ - gxy * by_) / safe_det
+        dy = (gxx * by_ - gxy * bx_) / safe_det
+        step_y = jnp.where(done, 0.0, dy)
+        step_x = jnp.where(done, 0.0, dx)
+        py = py - step_y
+        px = px - step_x
+        conv = (jnp.abs(dx) < cfg.convergence_tol) \
+            & (jnp.abs(dy) < cfg.convergence_tol)
+        return it + 1, py, px, done | conv, pp
+
+    def cond(state):
+        it, _, _, done, _ = state
+        return (it < cfg.max_iterations) & ~jnp.all(done)
+
+    done0 = jnp.zeros((n,), bool)
+    pp0 = jnp.zeros((n,), dt)
+    _, py, px, _, per_pixel = lax.while_loop(
+        cond, body, (jnp.int32(0), py0, px0, done0, pp0))
+
+    cy_out = jnp.clip(py, 0.0, margin_y) + r + oy.astype(dt)
+    cx_out = jnp.clip(px, 0.0, margin_x) + r + ox.astype(dt)
+    in_bounds = ((cy_out >= r) & (cy_out <= h - 1 - r)
+                 & (cx_out >= r) & (cx_out <= w - 1 - r)
+                 # clamped against the window edge == failed to converge
+                 & (py > 0) & (py < margin_y) & (px > 0) & (px < margin_x))
+    fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
+    fault = jnp.where(per_pixel > cfg.max_per_pixel_error,
+                      FAULT_LARGE_ERROR, fault)
+    fault = jnp.where(~ok_det, FAULT_FAILED, fault)
+    fault = jnp.where(~in_bounds, FAULT_OUT_OF_BOUNDS, fault)
+    return cy_out, cx_out, fault
 
 
 def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
@@ -186,14 +300,11 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
 
     ys/xs: [N] full-resolution positions.  Returns (ys, xs, fault) — fault
     is the worst fault seen at any level (OK if all levels tracked).
-    use_pallas=None auto-selects: the fused kernel on TPU backends, the
-    XLA stage loop elsewhere.
+    Level implementation follows cfg.method ("windowed" default — see
+    KltConfig); use_pallas=True forces the fused Pallas kernel,
+    use_pallas=False forces the per-iteration-gather XLA path (legacy
+    switch kept for the equivalence tests).
     """
-    if use_pallas is None:
-        # TODO(round 2): flip to auto-on once the Mosaic lowering of the
-        # fused kernel is fixed (hits a Python recursion limit in the
-        # remote-compile client at 480x640 today); opt-in meanwhile.
-        use_pallas = False
     n = ys.shape[0]
     fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
     num_levels = len(scales)
@@ -201,9 +312,15 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
     cx = xs / scales[-1]
     for lvl in range(num_levels - 1, -1, -1):
         s = scales[lvl]
-        cy_l, cx_l, f = _track_level(
-            pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
-            templates.grad_y[lvl], cy, cx, cfg, use_pallas=use_pallas)
+        if use_pallas is None and cfg.method == "windowed":
+            cy_l, cx_l, f = _track_level_windowed(
+                pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
+                templates.grad_y[lvl], cy, cx, cfg)
+        else:
+            cy_l, cx_l, f = _track_level(
+                pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
+                templates.grad_y[lvl], cy, cx, cfg,
+                use_pallas=bool(use_pallas))
         # tracks that fault keep their pre-level position (will be dropped)
         good = f == TRACK_OK
         cy = jnp.where(good, cy_l, cy)

@@ -107,7 +107,17 @@ def f_bm(l, r):
     d, v = disp_mod.sparse_block_match(l, r, ys.astype(jnp.int32),
                                        xs.astype(jnp.int32), dcfg)
     return l + d[0] * 0, r
-bench("sparse_block_match", f_bm, left, right)
+bench("sparse_block_match_sad", f_bm, left, right)
+
+def f_bm_ssd(l, r):
+    dcfg = disp_mod.DisparityConfig(
+        min_disparity=cfg.min_disparity, max_disparity=cfg.max_disparity,
+        radius_x=cfg.disparity_radius, radius_y=cfg.disparity_radius,
+        texture_threshold=0.1, error="ssd")
+    d, v = disp_mod.sparse_block_match(l, r, ys.astype(jnp.int32),
+                                       xs.astype(jnp.int32), dcfg)
+    return l + d[0] * 0, r
+bench("sparse_block_match_ssd", f_bm_ssd, left, right)
 
 # 4c. template sampling
 def f_tmpl(y, x):
@@ -131,4 +141,4 @@ state = state._replace(xs=xs, ys=ys, world=world, alive=alive,
 def f_step(s):
     s2, m = step_body(s, left, right)
     return (s2,)
-bench("FULL_STEP", lambda s: f_step(s)[0], state)
+bench("FULL_STEP", f_step, state)
