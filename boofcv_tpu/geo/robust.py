@@ -232,7 +232,8 @@ def ransac_homography(key, p1, p2, num_hypotheses: int = 512,
 
 def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
                inlier_threshold: float = 1e-3, valid_mask=None,
-               refine_iterations: int = 10, p3p: str = "grunert"):
+               refine_iterations: int = 10, p3p: str = "grunert",
+               polish_iterations: int = 0):
     """Robust camera pose from 2D/3D via batched P3P + GN refine on inliers
     (FactoryVisualOdometry.stereoDepth RANSAC assembly, :209).
 
@@ -280,8 +281,14 @@ def ransac_pnp(key, world, obs, num_hypotheses: int = 256,
     mask = result.inliers
     w64 = jnp.where(mask[:, None], world.astype(jnp.float64), 1.0)
     o64 = jnp.where(mask[:, None], obs.astype(jnp.float64), 0.0)
+    # polish_iterations=0 by default: each f64 GN step is ~0.7 ms of
+    # software-emulated arithmetic on TPU, while the f32 loop converges
+    # to ~1e-6 normalized units — far below tracking noise.  Callers
+    # needing calibration-grade poses (not RANSAC consumers — they
+    # follow with BA) can request f64 polish steps.
     Rr, tr = pnp.gauss_newton_pose(R, t, w64, o64,
                                    weights=mask.astype(jnp.float64),
                                    iterations=refine_iterations,
-                                   damping=1e-9)
+                                   damping=1e-9,
+                                   polish_iterations=polish_iterations)
     return result, (Rr, tr)
