@@ -184,8 +184,54 @@ def block_match(left: jnp.ndarray, right: jnp.ndarray,
 
 
 def _sparse_costs_sad(left, right, ys, xs, cfg):
-    """[N, D] SAD cost table via gathered right-image strips (exact
-    parity with DisparitySparseScoreSadRect's SAD scoring)."""
+    """[N, D] SAD cost table (DisparitySparseScoreSadRect's scoring).
+
+    TPU formulation: per-track strips come from the Pallas window-gather
+    kernel (one aligned vector load + lane rotate per track — XLA's
+    element-serialized gather dominated the VO spawn path), rows are
+    picked with a one-hot contraction, and the [N, D, P, P] table is
+    cheap static slices of the strip.  Out-of-image columns are masked
+    to 1e6 per element exactly like the flat-gather fallback.
+    """
+    from boofcv_tpu.kernels.window_gather import gather_windows, select_rows
+    h, w = left.shape
+    rx, ry = cfg.radius_x, cfg.radius_y
+    n_disp = cfg.max_disparity - cfg.min_disparity
+    p = 2 * rx + 1
+    ph = 2 * ry + 1
+    wide_w = n_disp + 2 * rx                             # columns needed
+    if wide_w > 128 or ph > 9:
+        return _sparse_costs_sad_xla(left, right, ys, xs, cfg)
+
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    ys_c = jnp.clip(ys - ry, 0, h - 1)
+    oy = jnp.maximum((ys_c // 8) * 8, 0)
+    row_off = ys_c - oy                                  # in [0, 8)
+    x0 = xs - rx - (cfg.min_disparity + n_disp - 1)      # leftmost column
+
+    pad_l = wide_w + cfg.min_disparity                   # >= -min(x0) for x>=0
+    strip16 = gather_windows(right, oy, x0, wy=16, wx=wide_w,
+                             pad_left=pad_l, pad_bottom=16)
+    strip = select_rows(strip16, row_off, ph)            # [N, PH, W']
+    patch16 = gather_windows(left, oy, xs - rx, wy=16, wx=p,
+                             pad_left=rx + 1, pad_bottom=16)
+    patch_l = select_rows(patch16, row_off, ph)          # [N, PH, P]
+
+    cols = x0[:, None] + jnp.arange(wide_w)[None, :]     # [N, W']
+    colb = (cols >= 0) & (cols < w)
+    strip = jnp.where(colb[:, None, :], strip, 1e30)
+    # window for disparity index d starts at column (n_disp - 1 - d)
+    sl = jnp.stack([strip[:, :, n_disp - 1 - d: n_disp - 1 - d + p]
+                    for d in range(n_disp)], axis=1)     # [N, D, PH, P]
+    e = jnp.abs(patch_l[:, None] - sl)
+    e = jnp.where(e > 1e6, 1e6, e)
+    return jnp.sum(e, axis=(2, 3))                       # [N, D]
+
+
+def _sparse_costs_sad_xla(left, right, ys, xs, cfg):
+    """Flat-gather fallback for configs exceeding the window-gather
+    kernel's limits (disparity range > ~120 or block radius > 4)."""
     h, w = left.shape
     rx, ry = cfg.radius_x, cfg.radius_y
     n_disp = cfg.max_disparity - cfg.min_disparity

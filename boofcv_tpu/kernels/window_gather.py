@@ -32,14 +32,17 @@ _LANES = 128
 _SUBLANES = 8
 
 
-def _pad_image(image, wy: int):
+def _pad_image(image, wy: int, pad_left: int = 0, pad_bottom: int = 0):
     """Pad to the alignment the kernel's loads need: rows to a multiple
     of 8 covering oy+wy, columns to 128*k + 256-wide load headroom.
-    Edge-padding preserves the border-clamp sampling semantics."""
+    Edge-padding preserves the border-clamp sampling semantics.
+    pad_left/pad_bottom add extra edge-replicated border so callers can
+    use window origins outside the image (offsets biased by pad_left)."""
     h, w = image.shape
-    hp = max(-(-h // _SUBLANES) * _SUBLANES, wy)
-    wp = ((max(w - 1, 0)) // _LANES) * _LANES + 2 * _LANES
-    return jnp.pad(image, ((0, hp - h), (0, wp - w)), mode="edge")
+    hp = max(-(-(h + pad_bottom) // _SUBLANES) * _SUBLANES, wy)
+    wl = w + pad_left
+    wp = ((max(wl - 1, 0)) // _LANES) * _LANES + 2 * _LANES
+    return jnp.pad(image, ((0, hp - h), (pad_left, wp - wl)), mode="edge")
 
 
 def _kernel(img_ref, oy8_ref, ox128_ref, sh_ref, out_ref, *, wy, wx):
@@ -53,22 +56,26 @@ def _kernel(img_ref, oy8_ref, ox128_ref, sh_ref, out_ref, *, wy, wx):
     out_ref[0] = rolled[:, :wx]
 
 
-@functools.partial(jax.jit, static_argnames=("wy", "wx", "force_xla"))
+@functools.partial(jax.jit, static_argnames=("wy", "wx", "pad_left",
+                                             "pad_bottom", "force_xla"))
 def gather_windows(image, oy, ox, wy: int = 24, wx: int = 16,
+                   pad_left: int = 0, pad_bottom: int = 0,
                    force_xla: bool = False):
     """Gather [N, wy, wx] windows with integer top-left corners (oy, ox).
 
     oy must be a multiple of 8 (callers align it; the wy rows of slack
     exist precisely so an aligned origin can still cover the patch).
-    ox is arbitrary.  Offsets must be pre-clamped to
-    [0, h-wy] x [0, w-wx].  image: [h, w] float32.
+    ox is arbitrary and may be as low as -pad_left (reads resolve to
+    edge-replicated border pixels); rows below h resolve likewise up to
+    pad_bottom.  Otherwise offsets must satisfy oy <= ~h, ox <= w - wx.
+    image: [h, w] float32.
     """
     n = oy.shape[0]
     img = image if image.dtype == jnp.float32 else image.astype(jnp.float32)
     oy = oy.astype(jnp.int32)
-    ox = ox.astype(jnp.int32)
+    ox = ox.astype(jnp.int32) + pad_left
 
-    padded = _pad_image(img, wy)
+    padded = _pad_image(img, wy, pad_left, pad_bottom)
 
     backend = jax.default_backend()
     if force_xla or backend not in ("tpu",):
@@ -99,6 +106,18 @@ def gather_windows(image, oy, ox, wy: int = 24, wx: int = 16,
         )(padded, (oy // _SUBLANES)[None], (ox // _LANES)[None],
           (ox % _LANES)[None])
     return out
+
+
+def select_rows(windows, offsets, rows: int):
+    """Pick ``rows`` consecutive rows starting at per-window integer
+    ``offsets`` out of [N, wy, wx] windows — as a one-hot batched matmul
+    (TPU gathers are serialized; a [N, rows, wy] one-hot contraction is
+    ~free on the MXU)."""
+    n, wy, _ = windows.shape
+    a = jnp.arange(wy, dtype=jnp.int32)[None, None, :]
+    i = jnp.arange(rows, dtype=jnp.int32)[None, :, None]
+    sel = (a == offsets[:, None, None] + i).astype(windows.dtype)
+    return jnp.einsum("nra,naw->nrw", sel, windows)
 
 
 def aligned_window_origin(cy, cx, radius: int, h: int, w: int,

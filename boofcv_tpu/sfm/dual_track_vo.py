@@ -99,7 +99,7 @@ def _spawn(state: DualTrackVoState, pyr_l, grads_l, pyr_r, grads_r,
     dcfg = disp_mod.DisparityConfig(
         min_disparity=0, max_disparity=cfg.max_disparity,
         radius_x=cfg.disparity_radius, radius_y=cfg.disparity_radius,
-        texture_threshold=0.1, error="ssd")
+        texture_threshold=0.1)
     disp, dvalid = disp_mod.sparse_block_match(
         left, right, cand_y.astype(jnp.int32), cand_x.astype(jnp.int32), dcfg)
     cand_ok &= dvalid & (disp > 0.5)

@@ -116,7 +116,7 @@ def _spawn(state: StereoVoState, pyramid, grads, left, right,
     dcfg = disp_mod.DisparityConfig(
         min_disparity=cfg.min_disparity, max_disparity=cfg.max_disparity,
         radius_x=cfg.disparity_radius, radius_y=cfg.disparity_radius,
-        texture_threshold=0.1, error="ssd")
+        texture_threshold=0.1)
     disp, dvalid = disp_mod.sparse_block_match(
         left, right, cand_y.astype(jnp.int32), cand_x.astype(jnp.int32), dcfg)
     cand_ok &= dvalid & (disp > 0.5)
