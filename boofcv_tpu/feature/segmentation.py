@@ -165,3 +165,108 @@ def watershed(image, markers):
 
     lab, _ = lax.while_loop(cond, one_round, (lab, jnp.asarray(True)))
     return lab
+
+
+def fh04_edge_weights(image, sigma: float = 0.8, eight: bool = True):
+    """Device-side edge weights for FH04: Gaussian-smoothed intensity (or
+    per-channel color) differences to the right/down(/diagonal) neighbors.
+
+    Returns (wr, wd, wdr, wdl) [H, W] f32 (wdr/wdl None for 4-conn)."""
+    from boofcv_tpu.ip import blur
+
+    img = image.astype(jnp.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    sm = jnp.stack([blur.gaussian(img[..., c], sigma=sigma)
+                    for c in range(img.shape[-1])], axis=-1)
+
+    def diff(shift_y, shift_x):
+        rolled = jnp.roll(sm, (-shift_y, -shift_x), axis=(0, 1))
+        return jnp.sqrt(jnp.sum((sm - rolled) ** 2, axis=-1))
+
+    wr = diff(0, 1)
+    wd = diff(1, 0)
+    if not eight:
+        return wr, wd, None, None
+    return wr, wd, diff(1, 1), diff(1, -1)
+
+
+def segment_fh04(image, k: float = 300.0, min_size: int = 20,
+                 sigma: float = 0.8, eight: bool = True):
+    """Felzenszwalb-Huttenlocher 2004 graph segmentation
+    (SegmentFelzenszwalbHuttenlocher04.java:81).
+
+    Edge weights on device; the sorted-edge union-find merge runs in the
+    native C++ finisher (native/ccl.cpp boofcv_fh04), with a NumPy
+    fallback.  Returns (labels int32 [H, W], count).
+    """
+    from boofcv_tpu import native
+
+    wr, wd, wdr, wdl = fh04_edge_weights(image, sigma=sigma, eight=eight)
+    res = native.fh04_merge(wr, wd, wdr, wdl, k=k, min_size=min_size)
+    if res is not None:
+        return res
+    return _fh04_merge_numpy(np.asarray(wr), np.asarray(wd),
+                             None if wdr is None else np.asarray(wdr),
+                             None if wdl is None else np.asarray(wdl),
+                             k, min_size)
+
+
+def _fh04_merge_numpy(wr, wd, wdr, wdl, k, min_size):
+    """Pure-NumPy fallback of the FH04 merge (same output as the C++)."""
+    h, w = wr.shape
+    n = h * w
+    idx = np.arange(n).reshape(h, w)
+    ea, eb, ew = [], [], []
+    ea.append(idx[:, :-1].ravel()); eb.append(idx[:, 1:].ravel())
+    ew.append(wr[:, :-1].ravel())
+    ea.append(idx[:-1, :].ravel()); eb.append(idx[1:, :].ravel())
+    ew.append(wd[:-1, :].ravel())
+    if wdr is not None:
+        ea.append(idx[:-1, :-1].ravel()); eb.append(idx[1:, 1:].ravel())
+        ew.append(wdr[:-1, :-1].ravel())
+        ea.append(idx[:-1, 1:].ravel()); eb.append(idx[1:, :-1].ravel())
+        ew.append(wdl[:-1, 1:].ravel())
+    ea = np.concatenate(ea); eb = np.concatenate(eb)
+    ew = np.concatenate(ew)
+    order = np.argsort(ew, kind="stable")
+    parent = np.arange(n)
+    size = np.ones(n, np.int64)
+    thresh = np.full(n, k, np.float64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in order:
+        a, b, wgt = find(ea[e]), find(eb[e]), ew[e]
+        if a == b:
+            continue
+        if wgt <= thresh[a] and wgt <= thresh[b]:
+            if size[a] < size[b]:
+                a, b = b, a
+            parent[b] = a
+            size[a] += size[b]
+            thresh[a] = wgt + k / size[a]
+    if min_size > 1:
+        for e in order:
+            a, b = find(ea[e]), find(eb[e])
+            if a != b and (size[a] < min_size or size[b] < min_size):
+                if size[a] < size[b]:
+                    a, b = b, a
+                parent[b] = a
+                size[a] += size[b]
+    roots = np.array([find(i) for i in range(n)])
+    _, labels = np.unique(roots, return_inverse=True)
+    # renumber in raster order of first occurrence
+    first = {}
+    out = np.empty(n, np.int32)
+    nxt = 0
+    for i, r in enumerate(labels):
+        if r not in first:
+            first[r] = nxt
+            nxt += 1
+        out[i] = first[r]
+    return out.reshape(h, w), nxt

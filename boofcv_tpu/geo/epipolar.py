@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def normalize_points(pts):
@@ -296,3 +297,164 @@ def cameras_from_fundamental(F):
                           jnp.zeros((3, 1), jnp.float64)], axis=1)
     P2 = jnp.concatenate([ex @ F, e2[:, None]], axis=1)
     return P1, P2
+
+
+# ---------------------------------------------------------------------------
+# Nister 5-point essential solver
+# ---------------------------------------------------------------------------
+# Reference: boofcv-geo alg/geo/f/EssentialNister5.java:62 (+ SymPy generator
+# main/boofcv-geo/src/generate/python/nister5.py).  TPU design: instead of
+# symbolically expanded coefficient code, the ten cubic constraint
+# polynomials are expanded NUMERICALLY by evaluating them at 20 fixed sample
+# points and interpolating over the 20 cubic monomials (one small matmul —
+# exact for polynomials, batched over all RANSAC hypotheses).  The action of
+# Nister's Gauss-Jordan elimination is a batched 10x10 solve; the degree-10
+# determinant polynomial's roots come from a batched Durand-Kerner iteration
+# (smalllinalg.poly_roots) since TPU XLA has no general eigvals.
+
+# Nister's monomial order: x3 y3 x2y xy2 x2z x2 y2z y2 xyz xy |
+#                          xz2 xz x yz2 yz y z3 z2 z 1
+_N5_POWERS = np.array([
+    (3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1), (2, 0, 0),
+    (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0), (1, 0, 2), (1, 0, 1),
+    (1, 0, 0), (0, 1, 2), (0, 1, 1), (0, 1, 0), (0, 0, 3), (0, 0, 2),
+    (0, 0, 1), (0, 0, 0)], dtype=np.float64)
+
+def _n5_sample_points():
+    rng = np.random.default_rng(42)
+    # well-spread sample points in [-1,1]^3; fixed once, shared by all calls
+    for _ in range(64):
+        pts = rng.uniform(-1.0, 1.0, size=(20, 3))
+        V = np.prod(pts[:, None, :] ** _N5_POWERS[None, :, :], axis=-1)
+        if np.linalg.cond(V) < 5e3:
+            return pts, np.linalg.inv(V)
+    raise RuntimeError("could not condition Nister interpolation points")
+
+_N5_PTS, _N5_VINV = _n5_sample_points()
+
+
+def _polymul(a, b):
+    """[..., m] x [..., n] -> [..., m+n-1], highest-degree-first coeffs."""
+    m = a.shape[-1]
+    n = b.shape[-1]
+    out = jnp.zeros(a.shape[:-1] + (m + n - 1,), dtype=a.dtype)
+    for i in range(m):
+        out = out.at[..., i:i + n].add(a[..., i:i + 1] * b)
+    return out
+
+
+def essential_nister5(p1, p2):
+    """Nister 5-point essential matrix: up to 10 solutions per sample.
+
+    p1, p2: [..., 5, 2] *normalized* (K^-1) image coordinates.
+    Returns (E [..., 10, 3, 3], valid [..., 10]).  Batched over any
+    leading hypothesis axes (EssentialNister5.java:62 analog).
+    """
+    p1 = p1.astype(jnp.float64)
+    p2 = p2.astype(jnp.float64)
+    A = _epipolar_design(p1, p2)                       # [..., 5, 9]
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, v = jnp.linalg.eigh(AtA)
+    # 4-dim nullspace basis -> E(x,y,z) = x E1 + y E2 + z E3 + E4
+    Es = jnp.stack([v[..., :, i] for i in range(4)], axis=-2)
+    Es = Es.reshape(Es.shape[:-1] + (3, 3))            # [..., 4, 3, 3]
+
+    # evaluate the 10 constraints at the 20 interpolation points
+    pts = jnp.asarray(_N5_PTS)                         # [20, 3]
+    coef = jnp.concatenate([pts, jnp.ones((20, 1), dtype=pts.dtype)], axis=-1)
+    Epts = jnp.einsum('sk,...kij->...sij', coef, Es)   # [..., 20, 3, 3]
+    det = (Epts[..., 0, 0] * (Epts[..., 1, 1] * Epts[..., 2, 2]
+                              - Epts[..., 1, 2] * Epts[..., 2, 1])
+           - Epts[..., 0, 1] * (Epts[..., 1, 0] * Epts[..., 2, 2]
+                                - Epts[..., 1, 2] * Epts[..., 2, 0])
+           + Epts[..., 0, 2] * (Epts[..., 1, 0] * Epts[..., 2, 1]
+                                - Epts[..., 1, 1] * Epts[..., 2, 0]))
+    EEt = Epts @ jnp.swapaxes(Epts, -1, -2)
+    tr = EEt[..., 0, 0] + EEt[..., 1, 1] + EEt[..., 2, 2]
+    trace_con = 2.0 * (EEt @ Epts) - tr[..., None, None] * Epts
+    P = jnp.concatenate([det[..., None, :],
+                         jnp.swapaxes(trace_con.reshape(
+                             trace_con.shape[:-2] + (9,)), -1, -2)],
+                        axis=-2)                       # [..., 10, 20]
+    C = P @ jnp.asarray(_N5_VINV).T                    # [..., 10, 20] coeffs
+
+    # Gauss-Jordan: G = C1^-1 C2 over the last 10 monomials
+    C1 = C[..., :, :10]
+    C2 = C[..., :, 10:]
+    # TPU XLA has no f64 LU: QR + triangular solve instead of linalg.solve
+    Q, Rq = jnp.linalg.qr(C1)
+    G = jax.lax.linalg.triangular_solve(
+        Rq, jnp.swapaxes(Q, -1, -2) @ C2, left_side=True, lower=False)
+
+    # rows e..j (leading monomials x2z, x2, y2z, y2, xyz, xy) give
+    # B(z) [x y 1]^T = 0 with  k=<e>-z<f>, l=<g>-z<h>, m=<i>-z<j>
+    def row_pair(ei, fi):
+        e = G[..., ei, :]
+        f = G[..., fi, :]
+        bx = jnp.stack([-f[..., 0], e[..., 0] - f[..., 1],
+                        e[..., 1] - f[..., 2], e[..., 2]], axis=-1)
+        by = jnp.stack([-f[..., 3], e[..., 3] - f[..., 4],
+                        e[..., 4] - f[..., 5], e[..., 5]], axis=-1)
+        b1 = jnp.stack([-f[..., 6], e[..., 6] - f[..., 7],
+                        e[..., 7] - f[..., 8], e[..., 8] - f[..., 9],
+                        e[..., 9]], axis=-1)
+        return bx, by, b1
+
+    rows = [row_pair(4, 5), row_pair(6, 7), row_pair(8, 9)]
+
+    def minor(r_a, r_b):
+        # by_a * b1_b - b1_a * by_b  (and the x/1 pairing variants)
+        bx_a, by_a, b1_a = rows[r_a]
+        bx_b, by_b, b1_b = rows[r_b]
+        p1_ = _polymul(by_a, b1_b) - _polymul(b1_a, by_b)   # deg 7 [8]
+        p2_ = _polymul(b1_a, bx_b) - _polymul(bx_a, b1_b)   # deg 7 [8]
+        p3_ = _polymul(bx_a, by_b) - _polymul(by_a, bx_b)   # deg 6 [7]
+        return p1_, p2_, p3_
+
+    m1, m2, m3 = minor(1, 2)
+    bx0, by0, b10 = rows[0]
+    n_poly = (_polymul(bx0, m1) + _polymul(by0, m2))        # deg 10 [11]
+    n3 = _polymul(b10, m3)                                  # deg 10 [11]
+    n_poly = n_poly + n3
+
+    from boofcv_tpu.geo.smalllinalg import poly_roots
+    zr, zi = poly_roots(n_poly)                             # [..., 10] each
+    scale = jnp.max(jnp.abs(n_poly), axis=-1)
+    lead_ok = jnp.abs(n_poly[..., 0]) > 1e-10 * scale
+    real = jnp.abs(zi) <= 1e-6 * (1.0 + jnp.abs(zr))
+
+    # back-substitute x(z), y(z) from the null vector of B(z)
+    def eval_poly(c, z):
+        out = jnp.broadcast_to(c[..., 0:1], z.shape).astype(z.dtype)
+        for i in range(1, c.shape[-1]):
+            out = out * z + c[..., i:i + 1]
+        return out
+
+    z = zr
+    B = jnp.stack([
+        jnp.stack([eval_poly(rows[r][0], z), eval_poly(rows[r][1], z),
+                   eval_poly(rows[r][2], z)], axis=-1)
+        for r in range(3)], axis=-2)                        # [..., 10, 3, 3]
+    c01 = jnp.cross(B[..., 0, :], B[..., 1, :])
+    c02 = jnp.cross(B[..., 0, :], B[..., 2, :])
+    c12 = jnp.cross(B[..., 1, :], B[..., 2, :])
+    cands = jnp.stack([c01, c02, c12], axis=-2)
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    vvec = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    w = vvec[..., 2]
+    w_ok = jnp.abs(w) > 1e-12 * (1.0 + jnp.linalg.norm(vvec, axis=-1))
+    ws = jnp.where(w_ok, w, 1.0)
+    x = vvec[..., 0] / ws
+    y = vvec[..., 1] / ws
+
+    xyz1 = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)  # [..., 10, 4]
+    E = jnp.einsum('...rk,...kij->...rij', xyz1, Es)
+    nrm = jnp.linalg.norm(E, axis=(-2, -1), keepdims=True)
+    E = E / jnp.where(nrm == 0, 1.0, nrm)
+    valid = real & w_ok & lead_ok[..., None] & jnp.all(
+        jnp.isfinite(E), axis=(-2, -1))
+    # invalid -> NaN: a zero matrix would score a *perfect* (guarded 0/0)
+    # Sampson error on every point and win RANSAC; NaN is filtered there.
+    E = jnp.where(valid[..., None, None], E, jnp.nan)
+    return E, valid

@@ -178,35 +178,64 @@ def ransac_fundamental(key, p1, p2, num_hypotheses: int = 512,
 
 def ransac_essential(key, p1n, p2n, num_hypotheses: int = 512,
                      inlier_threshold: float = 1e-3, valid_mask=None,
-                     refit_rounds: int = 2):
-    """Robust E from normalized coords via 8-point minimal sets + Sampson,
-    with LO-style weighted refits on the inlier set."""
-    from boofcv_tpu.geo import epipolar
+                     refit_rounds: int = 3, solver_name: str = "nister5"):
+    """Robust E from normalized coords, with LO-style weighted refits.
 
-    def solver(sample):
-        s1, s2 = sample
-        return epipolar.essential_8pt(s1, s2)
+    ``solver_name``: 'nister5' (default) uses Nister's minimal 5-point
+    solver — 5-point samples x 10 solutions per sample, the textbook
+    minimal parameterization (EssentialNister5.java:62), needing ~8x
+    fewer hypotheses than 8-point at the same outlier rate; '8pt' keeps
+    the non-minimal linear solver.
+    """
+    from boofcv_tpu.geo import epipolar
 
     def scorer(E, points):
         q1, q2 = points
         return epipolar.sampson_error(E, q1.astype(jnp.float64),
                                       q2.astype(jnp.float64))
 
-    res = ransac(key, (p1n, p2n), solver, scorer, sample_size=8,
-                 num_hypotheses=num_hypotheses,
-                 inlier_threshold=inlier_threshold, valid_mask=valid_mask)
+    if solver_name == "nister5":
+        def solver(sample):
+            s1, s2 = sample
+            E, valid = epipolar.essential_nister5(s1, s2)
+            # invalid solutions were zeroed; Sampson on 0 gives nan -> loses
+            return E
+
+        res = ransac(key, (p1n, p2n), solver, scorer, sample_size=5,
+                     num_hypotheses=num_hypotheses,
+                     inlier_threshold=inlier_threshold,
+                     valid_mask=valid_mask, solutions_per_sample=10)
+    else:
+        def solver(sample):
+            s1, s2 = sample
+            return epipolar.essential_8pt(s1, s2)
+
+        res = ransac(key, (p1n, p2n), solver, scorer, sample_size=8,
+                     num_hypotheses=num_hypotheses,
+                     inlier_threshold=inlier_threshold, valid_mask=valid_mask)
     E = res.model
-    inliers = res.inliers
+    # Minimal-sample hypotheses are noisy; a tight bootstrap gate would
+    # select a near-random consensus.  LO-style annealed refits: regate at
+    # a loose threshold first, shrink toward the final one each round
+    # (Lebeda et al. LO-RANSAC schedule).
+    err0 = epipolar.sampson_error(E, p1n.astype(jnp.float64),
+                                  p2n.astype(jnp.float64))
+    err0 = jnp.where(jnp.isnan(err0), jnp.inf, err0)
+    if valid_mask is not None:
+        err0 = jnp.where(valid_mask, err0, jnp.inf)
+    rounds = max(refit_rounds, 2)
+    inliers = err0 <= inlier_threshold * (10.0 ** (rounds - 1))
     p164 = p1n.astype(jnp.float64)
     p264 = p2n.astype(jnp.float64)
-    err = None
-    for _ in range(refit_rounds):
+    err = err0
+    for r in range(rounds):
         E = epipolar.essential_8pt(p164, p264, weights=inliers)
         err = epipolar.sampson_error(E, p164, p264)
         err = jnp.where(jnp.isnan(err), jnp.inf, err)
         if valid_mask is not None:
             err = jnp.where(valid_mask, err, jnp.inf)
-        inliers = err <= inlier_threshold
+        inliers = err <= inlier_threshold * (10.0 ** (rounds - 2 - r)) \
+            if r < rounds - 1 else err <= inlier_threshold
     msac = jnp.sum(jnp.minimum(err, inlier_threshold))
     return RansacResult(E, inliers, jnp.sum(inliers), msac)
 

@@ -172,3 +172,60 @@ def quartic_roots(c4, c3, c2, c1, c0):
     roots = jnp.stack([y1, y2, y3, y4], axis=-1) + shift[..., None]
     real = jnp.stack([ok12, ok12, ok34, ok34], axis=-1)
     return roots, real
+
+
+def poly_roots(coeffs, iters: int = 120):
+    """Batched all-roots of a real-coefficient polynomial (Durand-Kerner).
+
+    Replaces companion-matrix ``eigvals`` (absent on the TPU backend) for
+    the degree-10 polynomial of the Nister 5-point solver.  Complex
+    arithmetic is carried as explicit (re, im) f64 pairs so no complex
+    dtype is required (TPU complex128 is unsupported).
+
+    coeffs: [..., D+1] highest-degree first.  Returns (re [..., D],
+    im [..., D]).  The caller decides which roots are "real" (small |im|).
+    Degenerate leading coefficients give garbage roots — guard upstream.
+    """
+    import jax
+
+    c = coeffs.astype(jnp.float64)
+    lead = c[..., :1]
+    safe = jnp.where(jnp.abs(lead) < 1e-300, 1e-300, lead)
+    c = c / safe
+    D = c.shape[-1] - 1
+
+    # Cauchy bound start circle, angles offset to dodge real-axis symmetry.
+    r = 1.0 + jnp.max(jnp.abs(c[..., 1:]), axis=-1)
+    k = jnp.arange(D, dtype=jnp.float64)
+    ang = 2.0 * jnp.pi * k / D + 0.4
+    zr = r[..., None] * jnp.cos(ang)
+    zi = r[..., None] * jnp.sin(ang)
+
+    def eval_poly(zr, zi):
+        pr = jnp.broadcast_to(c[..., 0:1], zr.shape)
+        pi = jnp.zeros_like(zr)
+        for i in range(1, D + 1):
+            pr, pi = pr * zr - pi * zi + c[..., i:i + 1], pr * zi + pi * zr
+        return pr, pi
+
+    def body(_, zz):
+        zr, zi = zz
+        pr, pi = eval_poly(zr, zi)
+        # denominator prod_{j!=i} (z_i - z_j)
+        qr = jnp.ones_like(zr)
+        qi = jnp.zeros_like(zr)
+        for j in range(D):
+            dr = zr - zr[..., j:j + 1]
+            di = zi - zi[..., j:j + 1]
+            mask = (k != j)
+            dr = jnp.where(mask, dr, 1.0)
+            di = jnp.where(mask, di, 0.0)
+            qr, qi = qr * dr - qi * di, qr * di + qi * dr
+        den = qr * qr + qi * qi
+        den = jnp.where(den < 1e-300, 1e-300, den)
+        wr = (pr * qr + pi * qi) / den
+        wi = (pi * qr - pr * qi) / den
+        return zr - wr, zi - wi
+
+    zr, zi = jax.lax.fori_loop(0, iters, body, (zr, zi))
+    return zr, zi

@@ -62,6 +62,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.boofcv_fh04.restype = ctypes.c_int32
+        lib.boofcv_fh04.argtypes = [
+            fp, fp, fp, fp, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -120,3 +126,34 @@ def external_contours(binary):
         cap = 8 * (h + 2) * (w + 2)
         max_c = h * w + 8
     return None
+
+
+def fh04_merge(wr, wd, wdr=None, wdl=None, k: float = 300.0,
+               min_size: int = 20):
+    """Felzenszwalb-Huttenlocher sorted-edge union-find merge (C++).
+
+    wr/wd (+ optional diagonal wdr/wdl) are [H, W] float32 edge-weight
+    images (computed on device).  Returns (labels int32 [H, W], count) or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    wr = np.ascontiguousarray(np.asarray(wr), dtype=np.float32)
+    wd = np.ascontiguousarray(np.asarray(wd), dtype=np.float32)
+    h, w = wr.shape
+    use_diag = int(wdr is not None)
+    if use_diag:
+        wdr = np.ascontiguousarray(np.asarray(wdr), dtype=np.float32)
+        wdl = np.ascontiguousarray(np.asarray(wdl), dtype=np.float32)
+    else:
+        wdr = wr
+        wdl = wr
+    out = np.empty((h, w), dtype=np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    n = lib.boofcv_fh04(
+        wr.ctypes.data_as(fp), wd.ctypes.data_as(fp),
+        wdr.ctypes.data_as(fp), wdl.ctypes.data_as(fp),
+        ctypes.c_int32(h), ctypes.c_int32(w), ctypes.c_int32(use_diag),
+        ctypes.c_float(k), ctypes.c_int32(min_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out, int(n)

@@ -16,6 +16,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <algorithm>
+#include <functional>
 
 extern "C" {
 
@@ -150,3 +152,78 @@ int32_t boofcv_external_contours(const uint8_t* img, int32_t h, int32_t w,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Felzenszwalb-Huttenlocher 2004 graph segmentation (host-side finisher).
+// Reference analog: boofcv-feature
+//   alg/segmentation/fh04/SegmentFelzenszwalbHuttenlocher04.java:81
+// The per-pixel edge weights are computed on the TPU (jnp); this routine is
+// the inherently sequential sorted-edge union-find merge.
+//   wr:  h*w float, weight of edge (y,x)->(y,x+1), last column ignored
+//   wd:  h*w float, weight of edge (y,x)->(y+1,x), last row ignored
+//   wdr/wdl: diagonal edges (y,x)->(y+1,x+1) / (y,x)->(y+1,x-1); pass
+//            nullptr-equivalent (use_diag=0) for 4-connectivity
+// Output: compact labels 0..N-1 in raster order of first pixel; returns N.
+extern "C" int32_t boofcv_fh04(const float* wr, const float* wd,
+                               const float* wdr, const float* wdl,
+                               int32_t h, int32_t w, int32_t use_diag,
+                               float k, int32_t min_size, int32_t* out) {
+  const int64_t n = (int64_t)h * w;
+  std::vector<int32_t> parent(n);
+  std::vector<int32_t> size(n, 1);
+  std::vector<float> thresh(n, k);
+  for (int64_t i = 0; i < n; ++i) parent[i] = (int32_t)i;
+  std::function<int32_t(int32_t)> find = [&](int32_t x) {
+    while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+    return x;
+  };
+
+  struct Edge { float w; int32_t a, b; };
+  std::vector<Edge> edges;
+  edges.reserve((size_t)n * (use_diag ? 4 : 2));
+  for (int32_t y = 0; y < h; ++y) {
+    for (int32_t x = 0; x < w; ++x) {
+      const int32_t i = y * w + x;
+      if (x + 1 < w) edges.push_back({wr[i], i, i + 1});
+      if (y + 1 < h) edges.push_back({wd[i], i, i + w});
+      if (use_diag && y + 1 < h) {
+        if (x + 1 < w) edges.push_back({wdr[i], i, i + w + 1});
+        if (x > 0) edges.push_back({wdl[i], i, i + w - 1});
+      }
+    }
+  }
+  std::sort(edges.begin(), edges.end(),
+            [](const Edge& a, const Edge& b) { return a.w < b.w; });
+
+  for (const Edge& e : edges) {
+    int32_t ra = find(e.a), rb = find(e.b);
+    if (ra == rb) continue;
+    if (e.w <= thresh[ra] && e.w <= thresh[rb]) {
+      if (size[ra] < size[rb]) std::swap(ra, rb);
+      parent[rb] = ra;
+      size[ra] += size[rb];
+      thresh[ra] = e.w + k / (float)size[ra];
+    }
+  }
+  // enforce minimum region size: merge along edges in weight order
+  if (min_size > 1) {
+    for (const Edge& e : edges) {
+      int32_t ra = find(e.a), rb = find(e.b);
+      if (ra == rb) continue;
+      if (size[ra] < min_size || size[rb] < min_size) {
+        if (size[ra] < size[rb]) std::swap(ra, rb);
+        parent[rb] = ra;
+        size[ra] += size[rb];
+      }
+    }
+  }
+  // compact labels in raster order of the first pixel of each root
+  std::vector<int32_t> label(n, -1);
+  int32_t next = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t r = find((int32_t)i);
+    if (label[r] < 0) label[r] = next++;
+    out[i] = label[r];
+  }
+  return next;
+}

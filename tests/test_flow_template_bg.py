@@ -122,3 +122,61 @@ def test_dense_klt_shift():
     vi = np.asarray(v)[12:-12, 12:-12]
     assert abs(np.median(ui) + 3) < 0.4, np.median(ui)
     assert abs(np.median(vi) + 2) < 0.4, np.median(vi)
+
+
+def _translation_H(dx, dy):
+    return jnp.asarray([[1.0, 0.0, dx], [0.0, 1.0, dy], [0.0, 0.0, 1.0]])
+
+
+def test_background_moving_basic():
+    """Camera pans over a static textured scene; a moving square appears.
+
+    Home->current transforms are pure translations; segmentation must
+    flag only the moving object, and off-model pixels must be UNKNOWN
+    (alg/background/moving/BackgroundMovingBasic.java behavior).
+    """
+    rng = np.random.default_rng(7)
+    world = rng.uniform(0, 255, size=(80, 120)).astype(np.float32)
+    model = background.moving_init((48, 64))
+    for k in range(8):
+        dx, dy = 5 + k, 3  # camera pans right across the world image
+        frame = world[dy:dy + 48, dx:dx + 64]
+        H = _translation_H(-(dx - 5), 0.0)  # home frame is at dx=5
+        model = background.moving_basic_update(model, jnp.asarray(frame), H)
+    # next frame with a moving bright square
+    dx = 13
+    frame = world[3:51, dx:dx + 64].copy()
+    frame[20:28, 30:38] = 255.0
+    H = _translation_H(-(dx - 5), 0.0)
+    seg = np.asarray(background.moving_basic_segment(
+        model, jnp.asarray(frame), H, threshold=30.0))
+    assert seg[24, 34] == 1
+    # static textured area -> background
+    assert (seg[5:15, 5:25] == 0).mean() > 0.9
+    # pixels never covered by the model (right edge beyond home view+pan)
+    frame_far = world[3:51, 60:124].copy()
+    seg_far = np.asarray(background.moving_basic_segment(
+        model, jnp.asarray(frame_far), _translation_H(-55.0, 0.0)))
+    assert (seg_far[:, -10:] == background.UNKNOWN).mean() > 0.9
+
+
+def test_background_moving_gaussian_and_gmm():
+    rng = np.random.default_rng(8)
+    world = rng.uniform(0, 255, size=(80, 120)).astype(np.float32)
+    gm = background.moving_gaussian_init((48, 64))
+    gmm = background.moving_gmm_init((48, 64))
+    for k in range(10):
+        dx = 5 + (k % 4)
+        frame = world[3:51, dx:dx + 64]
+        H = _translation_H(-(dx - 5), 0.0)
+        gm = background.moving_gaussian_update(gm, jnp.asarray(frame), H)
+        gmm = background.moving_gmm_update(gmm, jnp.asarray(frame), H)
+    dx = 7
+    frame = world[3:51, dx:dx + 64].copy()
+    frame[20:28, 30:38] = 255.0
+    H = _translation_H(-(dx - 5), 0.0)
+    seg_g = np.asarray(background.moving_gaussian_segment(gm, jnp.asarray(frame), H))
+    seg_m = np.asarray(background.moving_gmm_segment(gmm, jnp.asarray(frame), H))
+    for seg in (seg_g, seg_m):
+        assert seg[24, 34] == 1
+        assert (seg[5:15, 5:25] == 0).mean() > 0.8

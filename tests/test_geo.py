@@ -348,3 +348,51 @@ def test_ransac_pnp_finsterwalder_variant():
     assert int(res.num_inliers) >= 50
     assert np.abs(np.asarray(R) - np.eye(3)).max() < 1e-6
     assert np.abs(np.asarray(t)).max() < 1e-6
+
+
+def test_essential_nister5_recovers_truth():
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        pts, R, t, p1, p2 = make_scene(rng, 5)
+        E_true = essential_from_rt(R, t)
+        E_true = E_true / np.linalg.norm(E_true)
+        E, valid = epipolar.essential_nister5(jnp.asarray(p1), jnp.asarray(p2))
+        E = np.asarray(E)
+        errs = [min(np.linalg.norm(e - E_true), np.linalg.norm(e + E_true))
+                for e, v in zip(E, np.asarray(valid)) if v]
+        assert errs and min(errs) < 1e-8
+
+
+def test_essential_nister5_batched():
+    rng = np.random.default_rng(12)
+    samples1, samples2, Es = [], [], []
+    for _ in range(6):
+        pts, R, t, p1, p2 = make_scene(rng, 5)
+        samples1.append(p1)
+        samples2.append(p2)
+        e = essential_from_rt(R, t)
+        Es.append(e / np.linalg.norm(e))
+    E, valid = epipolar.essential_nister5(
+        jnp.asarray(np.stack(samples1)), jnp.asarray(np.stack(samples2)))
+    E = np.asarray(E)
+    valid = np.asarray(valid)
+    for k in range(6):
+        errs = [min(np.linalg.norm(e - Es[k]), np.linalg.norm(e + Es[k]))
+                for e, v in zip(E[k], valid[k]) if v]
+        assert errs and min(errs) < 1e-7
+
+
+def test_ransac_essential_nister_outliers():
+    rng = np.random.default_rng(13)
+    pts, R, t, p1, p2 = make_scene(rng, 80, noise=1e-4)
+    # corrupt 40% of matches
+    bad = rng.random(80) < 0.4
+    p2 = p2.copy()
+    p2[bad] += rng.uniform(0.05, 0.3, size=(bad.sum(), 2))
+    res = robust.ransac_essential(
+        jax.random.PRNGKey(0), jnp.asarray(p1), jnp.asarray(p2),
+        num_hypotheses=64, inlier_threshold=1e-5)
+    inl = np.asarray(res.inliers)
+    # all true inliers kept, nearly no outliers admitted
+    assert inl[~bad].mean() > 0.95
+    assert inl[bad].mean() < 0.1

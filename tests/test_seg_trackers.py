@@ -222,3 +222,38 @@ def test_point_tracker_two_pass_recovers_with_hints():
                and abs((after[u].x - before[u].x) + dx) < 0.5
                and abs((after[u].y - before[u].y) + dy) < 0.5)
     assert good >= 0.8 * len(after), (good, len(after))
+
+
+def test_fh04_segments_piecewise_regions():
+    """Three flat regions with distinct intensities + mild noise ->
+    exactly three segments, boundaries on the true edges
+    (SegmentFelzenszwalbHuttenlocher04.java oracle)."""
+    from boofcv_tpu.feature import segmentation
+    rng = np.random.default_rng(0)
+    img = np.zeros((40, 60), np.float32)
+    img[:, :20] = 40.0
+    img[:, 20:40] = 120.0
+    img[:, 40:] = 210.0
+    img += rng.normal(0, 2.0, img.shape)
+    labels, n = segmentation.segment_fh04(jnp.asarray(img), k=150.0,
+                                          min_size=100, sigma=0.8)
+    assert n == 3
+    assert len(np.unique(labels[:, 5])) == 1
+    assert len(np.unique(labels[:, 30])) == 1
+    assert labels[5, 5] != labels[5, 30] != labels[5, 50]
+
+
+def test_fh04_native_matches_numpy():
+    from boofcv_tpu.feature import segmentation
+    from boofcv_tpu import native
+    if not native.available():
+        return
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (24, 32)).astype(np.float32)
+    wr, wd, wdr, wdl = segmentation.fh04_edge_weights(jnp.asarray(img))
+    ln, cn = native.fh04_merge(wr, wd, wdr, wdl, k=200.0, min_size=5)
+    lp, cp = segmentation._fh04_merge_numpy(
+        np.asarray(wr), np.asarray(wd), np.asarray(wdr), np.asarray(wdl),
+        200.0, 5)
+    assert cn == cp
+    np.testing.assert_array_equal(ln, lp)
