@@ -97,11 +97,78 @@ def main():
     print(f"# per-dispatch (latency-bound) path: {lat_fps:.1f} fps",
           file=sys.stderr, flush=True)
 
+    bench_window_ba()
+
+    # primary metric LAST (the driver parses the final JSON line)
     print(json.dumps({
         "metric": "stereo_vo_frames_per_s_per_chip_640x480",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 2),
+    }))
+
+
+def bench_window_ba():
+    """BASELINE.md north-star metric: BA solve ms per 100-keyframe window.
+
+    Synthetic forward-motion scene: 100 keyframes, 2000 points, ~10
+    consecutive observations per point — the LM-Schur solve
+    (boofcv_tpu.geo.ba, 10 iterations) timed steady-state on device.
+    """
+    import sys
+    from boofcv_tpu.geo import ba, se3
+
+    rng = np.random.default_rng(7)
+    V, P, L = 100, 2000, 10
+    pts = np.stack([rng.uniform(-6, 6, P), rng.uniform(-3, 3, P),
+                    rng.uniform(4, 30, P)], 1)
+    Rs = np.zeros((V, 3, 3))
+    ts = np.zeros((V, 3))
+    for v in range(V):
+        Rs[v] = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002 * v, 0.0])))
+        c = np.array([0.02 * v, 0.0, 0.12 * v])
+        ts[v] = -Rs[v] @ c
+    obs_xy = np.zeros((P, L, 2))
+    obs_view = np.zeros((P, L), np.int32)
+    obs_valid = np.zeros((P, L), bool)
+    first = rng.integers(0, V - L, P)
+    for i in range(P):
+        for s in range(L):
+            v = first[i] + s
+            pc = Rs[v] @ pts[i] + ts[v]
+            if pc[2] < 0.5:
+                continue
+            obs_xy[i, s] = pc[:2] / pc[2] + rng.normal(0, 5e-4, 2)
+            obs_view[i, s] = v
+            obs_valid[i, s] = True
+    # perturb the initial guess (BA has real work to do)
+    Rs_n = Rs.copy()
+    ts_n = ts + rng.normal(0, 0.01, ts.shape)
+    pts_n = pts + rng.normal(0, 0.05, pts.shape)
+    fixed = np.zeros(V, bool)
+    fixed[:2] = True
+    prob = ba.make_problem(Rs_n, ts_n, pts_n, obs_xy, obs_view, obs_valid,
+                           fixed_views=fixed)
+    t0 = time.perf_counter()
+    out, info = ba.optimize(prob, iterations=10)
+    jax.block_until_ready(out.points)
+    print(f"# window-BA compile+solve: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out, info = ba.optimize(prob, iterations=10)
+        jax.block_until_ready(out.points)
+    ms = (time.perf_counter() - t0) / reps * 1000.0
+    r = np.asarray(ba.residuals(out))
+    rms = float(np.sqrt((np.linalg.norm(r, axis=-1)[obs_valid] ** 2).mean()))
+    print(f"# window-BA final reproj RMS (normalized coords): {rms:.2e}",
+          file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "window_ba_solve_ms_100kf_2000pt_10it",
+        "value": round(ms, 1),
+        "unit": "ms",
+        "vs_baseline": None,
     }))
 
 

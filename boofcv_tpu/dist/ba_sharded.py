@@ -66,8 +66,13 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
     V = prob.R.shape[0]
     model = prob.model
 
-    # static (non-carried) per-shard data
-    point_specs = P(SHARD_AXIS)
+    # static (non-carried) per-shard data.  The point axis shards over
+    # EVERY mesh axis: on a 1D ('shard',) mesh that is plain data
+    # parallelism; on a 2D ('host', 'shard') multi-host mesh the reduced
+    # camera psum becomes a hierarchical all-reduce — ICI within a host
+    # row, DCN across hosts (SURVEY §2.9 "sequence/ring parallel" row).
+    axes = tuple(mesh.axis_names)
+    point_specs = P(axes)
     rep = P()
 
     @partial(
@@ -84,13 +89,13 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         S, gv_t, Hpp_inv, W, gp = ba._local_system(
             obs_view, Jv, Jp, r, lam, V)
         # one all-reduce for the reduced camera system
-        S = jax.lax.psum(S, SHARD_AXIS)
-        gv_t = jax.lax.psum(gv_t, SHARD_AXIS)
+        S = jax.lax.psum(S, axes)
+        gv_t = jax.lax.psum(gv_t, axes)
         dv = ba._solve_reduced(S, gv_t, fixed_views, lam)
         dp = ba._back_substitute(obs_view, Hpp_inv, W, gp, dv)
         # local cost contribution
         c_local = 0.5 * jnp.sum(r * r)
-        c = jax.lax.psum(c_local, SHARD_AXIS)
+        c = jax.lax.psum(c_local, axes)
         return dv, dp, c
 
     def cost_state(state):

@@ -444,3 +444,170 @@ def sgm(left: jnp.ndarray, right: jnp.ndarray,
 
     disp = _wta_select(agg, bm_cfg)
     return jnp.where(disp >= 0, disp + cfg.min_disparity, disp)
+
+
+def block_match_best5(left: jnp.ndarray, right: jnp.ndarray,
+                      cfg: DisparityConfig = DisparityConfig()) -> jnp.ndarray:
+    """Five-window block matching (DisparityBlockMatchBestFive.java).
+
+    Score = center window + the best 2 of the 4 corner-offset windows —
+    robust near disparity discontinuities where a single centered window
+    straddles two surfaces.  TPU design: the per-pixel window sums already
+    exist as the [D, H, W] aggregated cost volume; the corner windows are
+    the same volume shifted by (+-ry, +-rx), so best-2-of-4 is a handful
+    of elementwise mins — no extra aggregation passes.
+    """
+    cost = cost_volume(left, right, cfg)
+    ry, rx = cfg.radius_y, cfg.radius_x
+    big = jnp.float32(1e8)
+    pad_c = jnp.pad(cost, ((0, 0), (ry, ry), (rx, rx)),
+                    constant_values=big)
+    h, w = cost.shape[1], cost.shape[2]
+
+    def corner(dy, dx):
+        return lax.dynamic_slice(
+            pad_c, (0, ry + dy, rx + dx), cost.shape)
+
+    c1 = corner(-ry, -rx)
+    c2 = corner(-ry, rx)
+    c3 = corner(ry, -rx)
+    c4 = corner(ry, rx)
+    # sum of the two smallest of four = total - two largest
+    total = c1 + c2 + c3 + c4
+    m1 = jnp.maximum(jnp.maximum(c1, c2), jnp.maximum(c3, c4))
+    # second largest: max of (total of pairwise mins) trick
+    m2 = jnp.minimum(jnp.maximum(c1, c2), jnp.maximum(c3, c4))
+    m2 = jnp.maximum(m2, jnp.minimum(jnp.maximum(c1, c3),
+                                     jnp.maximum(c2, c4)))
+    best2 = total - m1 - m2
+    five = cost + best2
+    # per-pixel-error validation still refers to a 3-window area
+    cfg5 = cfg._replace(max_per_pixel_error=cfg.max_per_pixel_error * 3
+                        if cfg.max_per_pixel_error > 0 else -1.0)
+    disp = _wta_select(five, cfg5)
+    return jnp.where(disp >= 0, disp + cfg.min_disparity, disp)
+
+
+# ---------------------------------------------------------------------------
+# SGM with hierarchical mutual-information cost (SgmStereoDisparityHmi)
+# ---------------------------------------------------------------------------
+
+def mi_cost_table(left, right, disparity, bins: int = 64,
+                  sigma: float = 1.5):
+    """Mutual-information matching-cost table from a disparity prior.
+
+    Hirschmuller 2008 (SgmMutualInformation / StereoMutualInformation in
+    the reference): joint histogram of corresponding intensities ->
+    Gaussian-smoothed -log probabilities; cost(l, r) = h_joint(l, r)
+    - h_l(l) - h_r(r), shifted to be >= 0.  All scatter-add / gather, on
+    device.  ``disparity`` uses INVALID (<0) for missing pixels.
+    """
+    from boofcv_tpu.ip import blur
+
+    h, w = left.shape
+    lq = jnp.clip((left.astype(jnp.float32) * (bins / 256.0)),
+                  0, bins - 1).astype(jnp.int32)
+    rq = jnp.clip((right.astype(jnp.float32) * (bins / 256.0)),
+                  0, bins - 1).astype(jnp.int32)
+    xs = jnp.arange(w)[None, :].astype(jnp.float32)
+    xr = jnp.round(xs - disparity).astype(jnp.int32)
+    ok = (disparity >= 0) & (xr >= 0) & (xr < w)
+    xr = jnp.clip(xr, 0, w - 1)
+    r_at = jnp.take_along_axis(rq, xr, axis=1)
+    flat = (lq * bins + r_at).ravel()
+    wts = ok.ravel().astype(jnp.float32)
+    joint = jnp.zeros((bins * bins,), jnp.float32).at[flat].add(wts)
+    joint = joint.reshape(bins, bins)
+    n = jnp.maximum(jnp.sum(joint), 1.0)
+    pj = joint / n
+    # smooth -> -log -> smooth (Hirschmuller's double convolution)
+    pj_s = blur.gaussian(pj, sigma=sigma)
+    hj = blur.gaussian(-jnp.log(pj_s + 1e-8), sigma=sigma)
+    pl = jnp.sum(pj, axis=1)
+    pr = jnp.sum(pj, axis=0)
+
+    def entropy1(p):
+        ps = blur.gaussian(p[None, :], sigma=sigma)[0]
+        return blur.gaussian(-jnp.log(ps + 1e-8)[None, :], sigma=sigma)[0]
+
+    hl = entropy1(pl)
+    hr = entropy1(pr)
+    cost = hj - hl[:, None] - hr[None, :]
+    return cost - jnp.min(cost)
+
+
+def _mi_cost_volume(left, right, table, cfg: SgmConfig, bins: int):
+    lq = jnp.clip((left.astype(jnp.float32) * (bins / 256.0)),
+                  0, bins - 1).astype(jnp.int32)
+    rq = jnp.clip((right.astype(jnp.float32) * (bins / 256.0)),
+                  0, bins - 1).astype(jnp.int32)
+    flat_t = table.ravel()
+    n_disp = cfg.max_disparity - cfg.min_disparity
+    h, w = left.shape
+    slices = []
+    big = jnp.float32(1e5)
+    for d in range(n_disp):
+        dd = cfg.min_disparity + d
+        rs = jnp.concatenate([jnp.zeros((h, dd), rq.dtype),
+                              rq[:, : w - dd]], axis=1) if dd else rq
+        c = flat_t[lq * bins + rs]
+        if dd:
+            c = c.at[:, :dd].set(big)
+        slices.append(c)
+    return jnp.stack(slices, axis=0)
+
+
+def sgm_hmi(left: jnp.ndarray, right: jnp.ndarray,
+            cfg: SgmConfig = SgmConfig(), levels: int = 3,
+            bins: int = 64) -> jnp.ndarray:
+    """Hierarchical-MI SGM (SgmStereoDisparityHmi.java:57 analog).
+
+    The MI cost needs a disparity prior; hierarchically: census-SGM at the
+    coarsest pyramid level seeds the first MI table, then each finer level
+    re-estimates disparity with an MI table computed from the upsampled
+    prior.  Returns [H, W] float disparity, INVALID where rejected.
+    """
+    from boofcv_tpu.ip import distort
+
+    h, w = left.shape
+    pyr_l, pyr_r = [left.astype(jnp.float32)], [right.astype(jnp.float32)]
+    for _ in range(levels - 1):
+        pyr_l.append(0.25 * (pyr_l[-1][0::2, 0::2] + pyr_l[-1][1::2, 0::2]
+                             + pyr_l[-1][0::2, 1::2] + pyr_l[-1][1::2, 1::2]))
+        pyr_r.append(0.25 * (pyr_r[-1][0::2, 0::2] + pyr_r[-1][1::2, 0::2]
+                             + pyr_r[-1][0::2, 1::2] + pyr_r[-1][1::2, 1::2]))
+
+    scale = 2 ** (levels - 1)
+    coarse_cfg = cfg._replace(
+        min_disparity=cfg.min_disparity // scale,
+        max_disparity=max(cfg.max_disparity // scale, 2), error="census")
+    disp = sgm(pyr_l[-1], pyr_r[-1], coarse_cfg)
+
+    for lvl in range(levels - 2, -1, -1):
+        li, ri = pyr_l[lvl], pyr_r[lvl]
+        hh, ww = li.shape
+        # upsample prior disparity (NN) and double its magnitude
+        up = jnp.repeat(jnp.repeat(disp, 2, 0), 2, 1)[:hh, :ww]
+        prior = jnp.where(up >= 0, up * 2.0, INVALID)
+        lvl_scale = 2 ** lvl
+        lcfg = cfg._replace(
+            min_disparity=cfg.min_disparity // lvl_scale,
+            max_disparity=max(cfg.max_disparity // lvl_scale, 2))
+        table = mi_cost_table(li, ri, prior, bins=bins)
+        cost = _mi_cost_volume(li, ri, table, lcfg, bins)
+        # reuse the SGM path aggregation by swapping in the MI cost
+        p1, p2 = cfg.penalty_small / 10.0, cfg.penalty_large / 10.0
+        agg = _sgm_scan(cost, p1, p2)
+        agg = agg + jnp.flip(_sgm_scan(jnp.flip(cost, 2), p1, p2), 2)
+        ct = jnp.swapaxes(cost, 1, 2)
+        agg = agg + jnp.swapaxes(_sgm_scan(ct, p1, p2), 1, 2)
+        agg = agg + jnp.swapaxes(
+            jnp.flip(_sgm_scan(jnp.flip(ct, 2), p1, p2), 2), 1, 2)
+        bm_cfg = DisparityConfig(
+            min_disparity=lcfg.min_disparity,
+            max_disparity=lcfg.max_disparity, radius_x=0, radius_y=0,
+            texture_threshold=cfg.texture_threshold,
+            validate_lr=cfg.validate_lr, subpixel=cfg.subpixel)
+        d_sel = _wta_select(agg, bm_cfg)
+        disp = jnp.where(d_sel >= 0, d_sel + lcfg.min_disparity, d_sel)
+    return disp

@@ -213,31 +213,52 @@ def ransac_essential(key, p1n, p2n, num_hypotheses: int = 512,
         res = ransac(key, (p1n, p2n), solver, scorer, sample_size=8,
                      num_hypotheses=num_hypotheses,
                      inlier_threshold=inlier_threshold, valid_mask=valid_mask)
-    E = res.model
-    # Minimal-sample hypotheses are noisy; a tight bootstrap gate would
-    # select a near-random consensus.  LO-style annealed refits: regate at
-    # a loose threshold first, shrink toward the final one each round
-    # (Lebeda et al. LO-RANSAC schedule).
-    err0 = epipolar.sampson_error(E, p1n.astype(jnp.float64),
-                                  p2n.astype(jnp.float64))
-    err0 = jnp.where(jnp.isnan(err0), jnp.inf, err0)
-    if valid_mask is not None:
-        err0 = jnp.where(valid_mask, err0, jnp.inf)
-    rounds = max(refit_rounds, 2)
-    inliers = err0 <= inlier_threshold * (10.0 ** (rounds - 1))
+    # LO refits.  Two regimes exist: (a) the minimal-sample hypothesis is
+    # noisy, so the bootstrap gate must be LOOSE and annealed down
+    # (Lebeda-style LO-RANSAC), or (b) the hypothesis is already sharp and
+    # loosening re-admits outliers whose least-squares leverage destroys
+    # the refit.  Run BOTH chains branch-free and keep the candidate with
+    # the best MSAC score — never worse than the raw hypothesis.
     p164 = p1n.astype(jnp.float64)
     p264 = p2n.astype(jnp.float64)
-    err = err0
-    for r in range(rounds):
-        E = epipolar.essential_8pt(p164, p264, weights=inliers)
+
+    def score(E):
         err = epipolar.sampson_error(E, p164, p264)
         err = jnp.where(jnp.isnan(err), jnp.inf, err)
         if valid_mask is not None:
             err = jnp.where(valid_mask, err, jnp.inf)
-        inliers = err <= inlier_threshold * (10.0 ** (rounds - 2 - r)) \
-            if r < rounds - 1 else err <= inlier_threshold
-    msac = jnp.sum(jnp.minimum(err, inlier_threshold))
-    return RansacResult(E, inliers, jnp.sum(inliers), msac)
+        return err
+
+    thr = inlier_threshold
+    rounds = max(refit_rounds, 2)
+    candidates = [res.model]
+    for boot, gates in (
+            (thr, [thr] * rounds),                               # tight
+            (thr * 10.0 ** rounds,
+             [thr * 10.0 ** (rounds - 1 - r) for r in range(rounds)])):
+        err = score(res.model)
+        inliers = err <= boot
+        for g in gates:
+            E = epipolar.essential_8pt(p164, p264, weights=inliers)
+            inliers = score(E) <= g
+            candidates.append(E)
+    Es = jnp.stack(candidates)
+    errs = jax.vmap(score)(Es)
+    counts = jnp.sum(errs <= thr, axis=-1)
+    # Selection: max inlier count, ties broken toward the LATEST candidate.
+    # The LS refit over the full consensus set is the max-likelihood
+    # estimate when the inlier sets agree; the raw minimal-sample model can
+    # show a marginally better clipped-Sampson score while its pose is far
+    # less accurate (weak-geometry ambiguity), so Sampson-MSAC must NOT
+    # pick between count-tied candidates.  Raw (index 0) wins only when a
+    # refit chain collapsed to a strictly smaller consensus.
+    order = counts * (len(candidates) + 1) + jnp.arange(len(candidates))
+    best = jnp.argmax(order)
+    msacs = jnp.sum(jnp.minimum(errs, thr), axis=-1)
+    E = Es[best]
+    err = errs[best]
+    inliers = err <= thr
+    return RansacResult(E, inliers, jnp.sum(inliers), msacs[best])
 
 
 def ransac_homography(key, p1, p2, num_hypotheses: int = 512,

@@ -122,3 +122,95 @@ def tensor_from_cameras(P2, P3):
         T = T.at[k].set(Tk)
     n = jnp.sqrt(jnp.sum(T ** 2))
     return T / n
+
+
+def _tensor_from_epipoles_ls(M, e2, e3):
+    """Inner solve of the algebraic minimization: given epipoles, the
+    geometrically-valid tensor minimizing ||M t|| s.t. ||t|| = 1 over
+    t = E(e2,e3) [a; b]  (HZ Alg. 16.2 step: T_k[i,j] = A[i,k] e3[j]
+    - e2[i] B[j,k]).  Returns (t [27], residual vector M t)."""
+    # E: [27, 18], columns 0..8 = A[i,k] (col i*3+k), 9..17 = B[j,k]
+    E = jnp.zeros((27, 18), jnp.float64)
+    for k in range(3):
+        for i in range(3):
+            for j in range(3):
+                r = k * 9 + i * 3 + j
+                E = E.at[r, i * 3 + k].add(e3[j])
+                E = E.at[r, 9 + j * 3 + k].add(-e2[i])
+    Q, _ = jnp.linalg.qr(E)                      # orthonormal basis, [27, 18]
+    MQ = M @ Q
+    _, v = jnp.linalg.eigh(MQ.T @ MQ)
+    y = v[:, 0]
+    t = Q @ y
+    return t, M @ t
+
+
+def trifocal_algebraic_refine(T0, p1, p2, p3, iterations: int = 10,
+                              damping: float = 1e-8):
+    """Algebraic refinement of a trifocal tensor
+    (TrifocalAlgebraicPoint7.java:48 analog).
+
+    Minimizes the algebraic error ||M t|| over the 6 epipole parameters
+    with the tensor constrained to the geometrically-valid manifold
+    (HZ Algorithm 16.2): inner linear solve per epipole guess, outer
+    Gauss-Newton with finite-difference Jacobian.  p1/p2/p3: [N, 2]
+    pixels.  Returns refined T [3, 3, 3], unit norm.
+    """
+    from boofcv_tpu.geo.smalllinalg import inv3, solve_spd
+
+    n1, N1 = normalize_points(p1)
+    n2, N2 = normalize_points(p2)
+    n3, N3 = normalize_points(p3)
+    M = _design_rows(n1, n2, n3).reshape(-1, 27)
+
+    # initial epipoles from the *normalized* version of T0: renormalize T0
+    # into the conditioned coordinate system (inverse of the denormalize
+    # step in trifocal_linear)
+    N2m = N2
+    N3m = N3
+    N1i = inv3(N1)
+    mixed = jnp.einsum("ia,kab,jb->kij", N2m, T0.astype(jnp.float64), N3m)
+    Tn = jnp.einsum("rk,rij->kij", N1i, mixed)
+    Tn = Tn / jnp.sqrt(jnp.sum(Tn ** 2))
+    e2, e3 = extract_epipoles(Tn)
+
+    eps = 1e-7
+
+    def resid(e):
+        _, r = _tensor_from_epipoles_ls(M, e[:3] / jnp.linalg.norm(e[:3]),
+                                        e[3:] / jnp.linalg.norm(e[3:]))
+        # sign-align so finite differences are smooth
+        return r * jnp.sign(jnp.sum(r * r0_ref) + 1e-300)
+
+    e = jnp.concatenate([e2, e3])
+    for _ in range(iterations):
+        t_cur, r0 = _tensor_from_epipoles_ls(
+            M, e[:3] / jnp.linalg.norm(e[:3]), e[3:] / jnp.linalg.norm(e[3:]))
+        r0_ref = r0
+        # FD Jacobian [4N, 6]
+        cols = []
+        for d in range(6):
+            ep = e.at[d].add(eps)
+            cols.append((resid(ep) - r0) / eps)
+        J = jnp.stack(cols, axis=-1)
+        JtJ = J.T @ J + damping * jnp.eye(6, dtype=jnp.float64)
+        g = J.T @ r0
+        w, v = jnp.linalg.eigh(JtJ)
+        step = v @ ((v.T @ g) / jnp.maximum(w, 1e-12))
+        e_new = e - step
+        # keep the step only if the residual improved (LM-style guard)
+        _, r_new = _tensor_from_epipoles_ls(
+            M, e_new[:3] / jnp.linalg.norm(e_new[:3]),
+            e_new[3:] / jnp.linalg.norm(e_new[3:]))
+        better = jnp.sum(r_new ** 2) < jnp.sum(r0 ** 2)
+        e = jnp.where(better, e_new, e)
+
+    t_fin, _ = _tensor_from_epipoles_ls(
+        M, e[:3] / jnp.linalg.norm(e[:3]), e[3:] / jnp.linalg.norm(e[3:]))
+    Tn = t_fin.reshape(3, 3, 3)
+    # denormalize (same as trifocal_linear)
+    N2i = inv3(N2)
+    N3i = inv3(N3)
+    mix = jnp.einsum("rk,rij->kij", N1, Tn)
+    T_out = jnp.einsum("ia,kab,jb->kij", N2i, mix, N3i)
+    return T_out / jnp.sqrt(jnp.sum(T_out ** 2))

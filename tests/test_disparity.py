@@ -127,3 +127,75 @@ def test_pixel_to_3d_roundtrip():
     z = 250.0 * 0.5 / 5.0
     assert abs(X[2] - z) < 1e-6
     assert abs(X[0] - (120 - 100) * z / 250.0) < 1e-6
+
+
+def test_best_five_uniform_disparity():
+    rng = np.random.default_rng(3)
+    d_true = 6
+    left, right = make_stereo_pair(rng, d_true=d_true)
+    cfg = disparity.DisparityConfig(max_disparity=20, radius_x=3, radius_y=3)
+    disp = np.asarray(disparity.block_match_best5(
+        jnp.asarray(left), jnp.asarray(right), cfg))
+    interior = disp[8:-8, 28:-8]
+    valid = interior[interior >= 0]
+    assert valid.size > 0.9 * interior.size
+    assert np.abs(valid - d_true).mean() < 0.25
+
+
+def test_best_five_discontinuity_sharper_than_center():
+    """Two fronto-parallel planes; five-window BM must localize the depth
+    edge at least as well as plain centered BM
+    (DisparityBlockMatchBestFive.java motivation)."""
+    rng = np.random.default_rng(4)
+    h, w, d_bg, d_fg = 60, 100, 3, 12
+    tex = rng.uniform(0, 255, (h, w + 32)).astype(np.float32)
+    k = np.array([0.25, 0.5, 0.25])
+    tex = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, tex)
+    left = tex[:, :w].copy()
+    right = np.empty_like(left)
+    # background plane
+    right[:, :] = tex[:, d_bg:d_bg + w]
+    truth = np.full((h, w), float(d_bg))
+    # foreground square occupies the middle
+    fg = tex[:, d_fg:d_fg + w]
+    right[:, 30:70] = fg[:, 30:70]
+    truth[:, 30:70] = d_fg
+    cfg = disparity.DisparityConfig(max_disparity=20, radius_x=4, radius_y=4,
+                                    texture_threshold=0.0)
+    d_c = np.asarray(disparity.block_match(jnp.asarray(left), jnp.asarray(right), cfg))
+    d_5 = np.asarray(disparity.block_match_best5(jnp.asarray(left), jnp.asarray(right), cfg))
+    band = (slice(6, -6), slice(24, 80))
+    err_c = np.abs(np.where(d_c >= 0, d_c, np.nan) - truth)[band]
+    err_5 = np.abs(np.where(d_5 >= 0, d_5, np.nan) - truth)[band]
+    bad_c = np.nansum(err_c > 1.5)
+    bad_5 = np.nansum(err_5 > 1.5)
+    assert bad_5 <= bad_c + 2
+
+
+def test_sgm_hmi_uniform_disparity():
+    rng = np.random.default_rng(5)
+    d_true = 6
+    left, right = make_stereo_pair(rng, h=64, w=96, d_true=d_true)
+    cfg = disparity.SgmConfig(max_disparity=24)
+    disp = np.asarray(disparity.sgm_hmi(
+        jnp.asarray(left), jnp.asarray(right), cfg, levels=2))
+    interior = disp[5:-5, 30:-5]
+    valid = interior[interior >= 0]
+    assert valid.size > 0.85 * interior.size
+    assert np.abs(valid - d_true).mean() < 0.5
+
+
+def test_mi_cost_table_prefers_true_matches():
+    """With a perfect disparity prior the MI table must score true
+    correspondences below random ones (StereoMutualInformation oracle)."""
+    rng = np.random.default_rng(6)
+    d_true = 5
+    left, right = make_stereo_pair(rng, h=64, w=96, d_true=d_true)
+    prior = jnp.full(left.shape, float(d_true))
+    T = np.asarray(disparity.mi_cost_table(
+        jnp.asarray(left), jnp.asarray(right), prior, bins=32))
+    lq = np.clip((left * (32 / 256.0)), 0, 31).astype(int)
+    rq = np.clip((right * (32 / 256.0)), 0, 31).astype(int)
+    true_cost = T[lq[:, d_true:], rq[:, :-d_true]].mean()
+    rand_cost = T[lq[:, d_true:], rq[:, ::-1][:, :-d_true]].mean()
+    assert true_cost < rand_cost - 0.1

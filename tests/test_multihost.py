@@ -1,0 +1,91 @@
+"""Two-process multi-host path: jax.distributed + (host, shard) mesh.
+
+SURVEY §5 "distributed communication backend": spawns two REAL processes
+with the local collective backend (CPU devices), initializes
+jax.distributed in each, builds the 2D mesh, and runs the point-sharded BA
+step across both processes.  Skips gracefully where the runtime lacks the
+multi-process CPU backend.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+from boofcv_tpu.dist.mesh import initialize_multihost, make_mesh_2d
+initialize_multihost(coordinator_address=%(coord)r, num_processes=2,
+                     process_id=int(sys.argv[1]))
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+import jax.numpy as jnp
+import numpy as np
+from boofcv_tpu.geo import ba, se3
+from boofcv_tpu.dist import ba_sharded
+
+mesh = make_mesh_2d(n_hosts=2, devices_per_host=2)
+rng = np.random.default_rng(0)
+n_views, n_points, L = 4, 16, 3
+pts = np.stack([rng.uniform(-1, 1, n_points), rng.uniform(-1, 1, n_points),
+                rng.uniform(4, 6, n_points)], 1)
+Rs, ts = [], []
+for v in range(n_views):
+    Rs.append(np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 0.02, 3)))))
+    ts.append(np.array([0.3 * v, 0.0, 0.0]))
+Rs, ts = np.stack(Rs), np.stack(ts)
+obs_xy = np.zeros((n_points, L, 2)); obs_view = np.zeros((n_points, L), np.int32)
+obs_valid = np.zeros((n_points, L), bool)
+for p in range(n_points):
+    for s, v in enumerate(sorted(rng.permutation(n_views)[:L])):
+        Xc = Rs[v] @ pts[p] + ts[v]
+        obs_xy[p, s] = Xc[:2] / Xc[2]; obs_view[p, s] = v; obs_valid[p, s] = True
+fixed = np.zeros(n_views, bool); fixed[:2] = True
+prob = ba.make_problem(Rs, ts, pts + rng.normal(0, 0.01, pts.shape),
+                       obs_xy, obs_view, obs_valid, fixed_views=fixed)
+out, info = ba_sharded.optimize_sharded(prob, mesh, iterations=2)
+print("FINAL_COST", float(info["final_cost"]), flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("BOOFCV_TPU_SKIP_MULTIPROC") == "1",
+                    reason="multi-process test disabled")
+def test_two_process_mesh_ba():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    src = _WORKER % {"repo": repo, "coord": coord}
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", src, str(pid)], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=env) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("multi-process backend timed out on this runner")
+    for rc, out, err in outs:
+        if rc != 0 and ("UNIMPLEMENTED" in err or "distributed" in err
+                        and "not supported" in err):
+            pytest.skip("jax.distributed unavailable: " + err[-200:])
+        assert rc == 0, err[-2000:]
+    costs = [float(o.split("FINAL_COST")[1].split()[0]) for _, o, _ in outs]
+    assert np.isfinite(costs).all()
+    # both processes agree on the replicated reduced-system result
+    assert abs(costs[0] - costs[1]) < 1e-9 * (1 + abs(costs[0]))

@@ -185,3 +185,34 @@ def test_associate_mutual_2d_gate():
     assert (np.asarray(m.dst) == np.arange(4)).all()
     m2 = associate.associate_mutual_2d(s, xy_a, xy_b, max_distance=1.0)
     assert not bool(m2.valid.any())
+
+
+def test_trifocal_algebraic_refine_improves_noisy_linear():
+    """With observation noise the linear 7-pt solution violates the
+    internal tensor constraints; algebraic refinement onto the valid
+    manifold must not increase — and typically reduces — the transfer
+    error (TrifocalAlgebraicPoint7.java:48 oracle)."""
+    rng = np.random.default_rng(5)
+    pts, cams, obs = three_view_scene(rng, n=15)
+    noisy = [o + rng.normal(0, 5e-4, o.shape) for o in obs]
+    T_lin = trifocal.trifocal_linear(*[jnp.asarray(o) for o in noisy])
+    T_ref = trifocal.trifocal_algebraic_refine(
+        T_lin, *[jnp.asarray(o) for o in noisy])
+    # evaluate against the NOISE-FREE observations
+    clean = [jnp.asarray(o) for o in obs]
+    e_lin = float(np.sqrt(np.asarray(trifocal.transfer_error(T_lin, *clean)).mean()))
+    e_ref = float(np.sqrt(np.asarray(trifocal.transfer_error(T_ref, *clean)).mean()))
+    assert e_ref < e_lin * 1.05
+    assert e_ref < 5e-3
+
+
+def test_trifocal_algebraic_refine_exact_fixed_point():
+    """Noise-free data: refinement starting from the linear estimate must
+    keep a (near-)exact tensor."""
+    rng = np.random.default_rng(6)
+    pts, cams, obs = three_view_scene(rng, n=12)
+    clean = [jnp.asarray(o) for o in obs]
+    T_lin = trifocal.trifocal_linear(*clean)
+    T_ref = trifocal.trifocal_algebraic_refine(T_lin, *clean, iterations=5)
+    err = np.asarray(trifocal.transfer_error(T_ref, *clean))
+    assert np.sqrt(err.mean()) < 1e-6
