@@ -50,14 +50,122 @@ def pad_points_for_mesh(prob: BAProblem, n_shards: int) -> BAProblem:
     )
 
 
+def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int):
+    """Distributed reduced-camera solve without materializing the psummed
+    [V, V, D, D] system on any device.
+
+    ``S_local`` is this shard's un-reduced contribution; ``psum_scatter``
+    leaves each device one block-row slab [V/n, V, D, D].  The damped,
+    gauge-fixed SPD system is then solved by conjugate gradients with a
+    block-Jacobi (per-view-diagonal) preconditioner: one tiled
+    ``all_gather`` of [V, D] per matvec — O(V D) traffic per iteration vs
+    the O(V^2 D^2) full psum.  Runs inside shard_map on the 1D mesh.
+    """
+    axis = SHARD_AXIS
+    V, _, D, _ = S_local.shape
+    n = jax.lax.psum(1, axis)
+    rows = V // n
+    S_rows = jax.lax.psum_scatter(S_local, axis, scatter_dimension=0,
+                                  tiled=True)                 # [rows, V, D, D]
+    off = jax.lax.axis_index(axis) * rows
+    row_ids = off + jnp.arange(rows)
+
+    pose_col = (jnp.arange(D) < 6).astype(S_rows.dtype)
+    frozen = fixed_views.astype(S_rows.dtype)[:, None] * pose_col[None, :]
+    free_vd = 1.0 - frozen                                    # [V, D]
+    free_rows = jax.lax.dynamic_slice_in_dim(free_vd, off, rows)
+    frozen_rows = jax.lax.dynamic_slice_in_dim(frozen, off, rows)
+
+    # damping on the global diagonal blocks (local columns off..off+rows)
+    diag = S_rows[jnp.arange(rows), row_ids] \
+        + lam * jnp.eye(D, dtype=S_rows.dtype)
+    S_rows = S_rows.at[jnp.arange(rows), row_ids].set(diag)
+    # gauge fixing: zero frozen rows/cols, identity on frozen diagonal
+    S_rows = S_rows * free_rows[:, None, :, None] * free_vd[None, :, None, :]
+    diag = S_rows[jnp.arange(rows), row_ids] \
+        + jax.vmap(jnp.diag)(frozen_rows)
+    S_rows = S_rows.at[jnp.arange(rows), row_ids].set(diag)
+    b = gv_t * free_vd
+
+    # block-Jacobi preconditioner from the (SPD) diagonal blocks
+    w, vv = jnp.linalg.eigh(diag)
+    w = jnp.maximum(w, 1e-12)
+    Minv = jnp.einsum("rik,rk,rjk->rij", vv, 1.0 / w, vv)
+
+    def matvec(x):
+        y = jnp.einsum("rvij,vj->ri", S_rows, x)
+        return jax.lax.all_gather(y, axis, tiled=True)
+
+    def precond(z):
+        zr = jax.lax.dynamic_slice_in_dim(z, off, rows)
+        y = jnp.einsum("rij,rj->ri", Minv, zr)
+        return jax.lax.all_gather(y, axis, tiled=True)
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, st):
+        x, r, p, rz = st
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(pAp <= 0, 1e-300, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz2 = jnp.sum(r * z)
+        beta = rz2 / jnp.where(rz == 0, 1e-300, rz)
+        return x, r, z + beta * p, rz2
+
+    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x * free_vd
+
+
+
 def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
                      lam0: float = 1e-3, lam_up: float = 10.0,
-                     lam_down: float = 0.3):
+                     lam_down: float = 0.3, reduced_solver: str = "cholesky",
+                     pcg_iterations: int = 100):
     """Distributed LM-Schur BA.  Same semantics as :func:`ba.optimize`
     (bitwise-comparable modulo reduction order), point axis sharded over
-    ``mesh``'s '{axis}' dimension."""
+    ``mesh``'s '{axis}' dimension.
+
+    ``reduced_solver``:
+      * "cholesky" — psum the FULL [V, V, D, D] reduced camera system to
+        every device, replicated Cholesky solve.  Exact; memory/traffic
+        O(V^2 D^2) per device — fine to a few hundred views.
+      * "pcg" — ``psum_scatter`` the reduced system over view-block ROWS
+        (each device keeps [V/n, V, D, D]) and solve by distributed
+        block-Jacobi-preconditioned conjugate gradients: matvec = local
+        row-block product + one tiled ``all_gather`` of [V, D] per
+        iteration.  Per-device memory O(V^2 D^2 / n), per-iteration
+        traffic O(V D) — the V>1k regime.  1D meshes only.
+    """
     n_shards = mesh.devices.size
+    if reduced_solver == "pcg" and len(mesh.axis_names) != 1:
+        raise ValueError("pcg reduced solver supports 1D meshes only")
+    V_orig = prob.R.shape[0]
     prob = pad_points_for_mesh(prob, n_shards)
+    if reduced_solver == "pcg":
+        # pad views so block rows split evenly; dummies are unobserved and
+        # gauge-frozen (identity diagonal), so the solve is unaffected
+        V0 = prob.R.shape[0]
+        V_pad = (-V0) % n_shards
+        if V_pad:
+            import numpy as _np
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=prob.R.dtype),
+                                   (V_pad, 3, 3))
+            prob = prob._replace(
+                R=jnp.concatenate([prob.R, eye]),
+                t=jnp.concatenate([prob.t, jnp.zeros((V_pad, 3),
+                                                     prob.t.dtype)]),
+                intr=jnp.concatenate(
+                    [prob.intr, jnp.zeros((V_pad, prob.intr.shape[1]),
+                                          prob.intr.dtype)]),
+                fixed_views=jnp.concatenate(
+                    [prob.fixed_views, jnp.ones(V_pad, bool)]))
     prob = prob._replace(
         R=prob.R.astype(jnp.float64), t=prob.t.astype(jnp.float64),
         intr=prob.intr.astype(jnp.float64),
@@ -88,10 +196,14 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         Jv, Jp, r = ba._jacobians(local)
         S, gv_t, Hpp_inv, W, gp = ba._local_system(
             obs_view, Jv, Jp, r, lam, V)
-        # one all-reduce for the reduced camera system
-        S = jax.lax.psum(S, axes)
         gv_t = jax.lax.psum(gv_t, axes)
-        dv = ba._solve_reduced(S, gv_t, fixed_views, lam)
+        if reduced_solver == "pcg":
+            dv = _solve_reduced_pcg(S, gv_t, fixed_views, lam,
+                                    pcg_iterations)
+        else:
+            # one all-reduce for the full reduced camera system
+            S = jax.lax.psum(S, axes)
+            dv = ba._solve_reduced(S, gv_t, fixed_views, lam)
         dp = ba._back_substitute(obs_view, Hpp_inv, W, gp, dv)
         # local cost contribution
         c_local = 0.5 * jnp.sum(r * r)
@@ -123,4 +235,9 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         step, (state0, jnp.float64(lam0)), None, length=iterations)
     out = prob._replace(R=state[0], t=state[1], intr=state[2],
                         points=state[3])
-    return out, {"costs": costs, "final_cost": cost_state(state)}
+    final = cost_state(state)
+    if out.R.shape[0] != V_orig:   # trim pcg view padding
+        out = out._replace(R=out.R[:V_orig], t=out.t[:V_orig],
+                           intr=out.intr[:V_orig],
+                           fixed_views=out.fixed_views[:V_orig])
+    return out, {"costs": costs, "final_cost": final}

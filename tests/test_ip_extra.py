@@ -200,3 +200,16 @@ def test_create_calibration_target_cli(tmp_path):
     from boofcv_tpu.recognition import calib_targets
     pts = calib_targets.detect_square_grid(img.astype(np.float32), 3, 4)
     assert pts is not None and pts.shape == (48, 2)
+
+
+def test_weight_functions():
+    from boofcv_tpu.ip import weights
+    u = np.asarray(weights.uniform_pixel(2))
+    assert u.shape == (5, 5) and abs(u.sum() - 1.0) < 1e-6
+    g = np.asarray(weights.gaussian_pixel(3, sigma=1.5))
+    assert g.shape == (7, 7) and abs(g.sum() - 1.0) < 1e-5
+    assert g[3, 3] == g.max() and g[0, 0] == g.min()
+    d = np.asarray(weights.distance_sq_gaussian(jnp.asarray([0.0, 4.0]), 2.0))
+    np.testing.assert_allclose(d, [1.0, np.exp(-0.5)], atol=1e-6)
+    du = np.asarray(weights.distance_uniform(jnp.asarray([1.0, 9.1]), 3.0))
+    assert du[0] > 0 and du[1] == 0
