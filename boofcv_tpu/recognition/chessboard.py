@@ -166,14 +166,58 @@ def _order_grid(pts, rows, cols):
 
 
 def detect_chessboard(image, rows: int, cols: int, max_corners: int = 300):
-    """Full pipeline: x-corners -> subpixel -> grid (CalibrationDetector-
-    Chessboard.process).  rows/cols = INNER corner counts.  Returns
-    [rows*cols, 2] (x, y) or None."""
+    """Full pipeline: x-corners -> subpixel -> ring validation -> grid
+    (CalibrationDetectorChessboard.process).  rows/cols = INNER corner
+    counts.  Returns [rows*cols, 2] (x, y) or None."""
     ys, xs, valid = detect_corners(image, max_corners)
-    # detections come score-ordered (top_k): keep the n strongest
     pts = np.stack([xs[valid], ys[valid]], 1)
     n = rows * cols
     if len(pts) < n:
         return None
-    pts = pts[:n]
-    return _order_grid(pts, rows, cols)
+    # ring validation rejects noise peaks / board-boundary junctions that
+    # can outscore true x-corners on real imagery
+    ok = validate_xcorners(image, pts[:, 1], pts[:, 0])
+    if ok.sum() >= n:
+        pts = pts[ok]
+    if len(pts) > n:
+        # detections are score-ordered; among validated corners prefer the
+        # spatially-coherent subset around the centroid
+        c = np.median(pts, axis=0)
+        d = np.linalg.norm(pts - c, axis=1)
+        pts = pts[np.argsort(d)[:n]]
+    grid = _order_grid(pts, rows, cols)
+    if grid is None and len(pts) == n:
+        return None
+    return grid
+
+
+def validate_xcorners(image, ys, xs, radius: float = 4.5,
+                      n_samples: int = 16):
+    """Ring-sample x-corner validation (DetectChessboardCorners2's
+    intensity-circle check, batched).
+
+    A true x-corner shows four alternating dark/light arcs around a small
+    circle — its ring intensity is dominated by the SECOND circular
+    harmonic.  Edge points, L-corners and board-boundary junctions carry a
+    strong first harmonic instead.  Returns a bool mask.
+    """
+    from boofcv_tpu.ip import interpolate
+
+    th = jnp.arange(n_samples) * (2.0 * jnp.pi / n_samples)
+    sy = jnp.asarray(ys)[:, None] + radius * jnp.sin(th)[None, :]
+    sx = jnp.asarray(xs)[:, None] + radius * jnp.cos(th)[None, :]
+    v = interpolate.bilinear(jnp.asarray(image, jnp.float32), sy, sx)
+    v = v - jnp.mean(v, axis=1, keepdims=True)
+
+    def harm(k):
+        c = jnp.sum(v * jnp.cos(k * th)[None, :], axis=1)
+        s = jnp.sum(v * jnp.sin(k * th)[None, :], axis=1)
+        return c * c + s * s
+
+    a1 = harm(1)
+    a2 = harm(2)
+    energy = jnp.sum(v * v, axis=1)
+    # pure 2nd harmonic gives a2 = (n/2) * energy; require the 2nd
+    # harmonic to dominate the 1st and carry most of the ring energy
+    return np.asarray((a2 > 2.0 * a1)
+                      & (a2 > 0.3 * (n_samples / 2.0) * energy))

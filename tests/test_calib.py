@@ -94,3 +94,61 @@ def test_stereo_calibration():
         tgt, obs_l, np.stack(obs_r))
     np.testing.assert_allclose(Rlr, R_rel, atol=1e-5)
     np.testing.assert_allclose(tlr, t_rel, atol=1e-5)
+
+
+def test_calibration_from_rendered_images_end_to_end():
+    """VERDICT r1 #7 'Done' criterion: image in -> intrinsics out.
+
+    Renders a finite chessboard target through known cameras
+    (io.simulate.render_plane), detects it per view with the hardened
+    x-corner pipeline (ring validation + perspective-robust lattice
+    ordering), runs Zhang99, and requires K within 1%.
+    """
+    from boofcv_tpu.io import simulate
+    from boofcv_tpu.recognition import chessboard
+
+    rng = np.random.default_rng(0)
+    rows, cols = 5, 6
+    square, tw = 36, 512
+    tex = np.full((tw, tw), 230.0, np.float32)
+    bh, bwd = (rows + 1) * square, (cols + 1) * square
+    by, bx = (tw - bh) // 2, (tw - bwd) // 2
+    yy, xx = np.mgrid[0:bh, 0:bwd]
+    tex[by:by + bh, bx:bx + bwd] = \
+        (((yy // square) + (xx // square)) % 2) * 190.0 + 30.0
+    tex += rng.normal(0, 2.0, tex.shape).astype(np.float32)
+
+    H, W, f = 480, 640, 520.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    scale = 40.0
+    ey = np.array([0.0, 1.0, -0.15])
+    world = []
+    for j in range(rows):
+        for i in range(cols):
+            u = (bx + (i + 1) * square - tw / 2) / scale
+            v = (by + (j + 1) * square - tw / 2) / scale
+            world.append([u, v * np.linalg.norm(ey)])
+    world = np.array(world)
+
+    poses = [(-0.22, 0.1, 0.02, (0.15, 0.05)),
+             (0.18, -0.15, -0.05, (-0.15, 0.1)),
+             (0.05, 0.28, 0.1, (0.05, -0.15)),
+             (-0.12, -0.22, 0.0, (0.1, 0.15))]
+    obs = []
+    for wx, wy, wz, (sx, sy) in poses:
+        R = np.asarray(se3.exp_so3(jnp.asarray([wx, wy, wz])))
+        t = -R @ np.array([sx, sy, 0.0])
+        img = simulate.render_plane(
+            jnp.asarray(tex), K, jnp.asarray(R), jnp.asarray(t), H, W,
+            plane_origin=(0.0, 0.0, 10.5), texture_scale=scale,
+            background=235.0)
+        grid = chessboard.detect_chessboard(img, rows, cols)
+        assert grid is not None
+        obs.append(grid)
+
+    res = zhang99.calibrate_mono_planar(world, np.stack(obs))
+    Kf = np.asarray(res.K)
+    assert abs(Kf[0, 0] - f) / f < 0.01
+    assert abs(Kf[1, 1] - f) / f < 0.01
+    assert abs(Kf[0, 2] - W / 2) < 4.0
+    assert abs(Kf[1, 2] - H / 2) < 4.0
