@@ -25,7 +25,6 @@ import jax.numpy as jnp
 def main():
     from boofcv_tpu.sfm import stereo_vo
     from boofcv_tpu.io import simulate
-    from boofcv_tpu.geo import se3
 
     H, W = 480, 640
     K = np.array([[480.0, 0.0, W / 2], [0.0, 480.0, H / 2], [0.0, 0.0, 1.0]])
@@ -43,11 +42,15 @@ def main():
     rng = np.random.default_rng(0)
     n_frames = 41
     poses = []
-    for i in range(n_frames):
-        R = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002 * i, 0.0])))
-        c = np.array([0.01 * i, 0.0, 0.05 * i])
-        poses.append((jnp.asarray(R), jnp.asarray(-R @ c)))
     cpu = jax.devices("cpu")[0]
+    for i in range(n_frames):
+        # pure numpy (eager jnp ops would pay a tunnel round-trip each)
+        a = 0.002 * i
+        R = np.array([[np.cos(a), 0.0, np.sin(a)], [0.0, 1.0, 0.0],
+                      [-np.sin(a), 0.0, np.cos(a)]])
+        c = np.array([0.01 * i, 0.0, 0.05 * i])
+        with jax.default_device(cpu):
+            poses.append((jnp.asarray(R), jnp.asarray(-R @ c)))
     with jax.default_device(cpu):
         frames = simulate.render_stereo_sequence(
             rng, K, baseline, poses, H, W, plane_origin=(0.0, 0.0, 8.0),
@@ -108,54 +111,168 @@ def main():
     }))
 
 
-def bench_window_ba():
-    """BASELINE.md north-star metric: BA solve ms per 100-keyframe window.
+def _window_ba_scene():
+    """100 keyframes / 2000 points / ~10 consecutive obs per point.
 
-    Synthetic forward-motion scene: 100 keyframes, 2000 points, ~10
-    consecutive observations per point — the LM-Schur solve
-    (boofcv_tpu.geo.ba, 10 iterations) timed steady-state on device.
+    Pure numpy: eager jnp ops here would each pay a tunnel round-trip on
+    the axon backend (~84 ms/op — this loop silently cost minutes in r02).
     """
-    import sys
-    from boofcv_tpu.geo import ba, se3
-
     rng = np.random.default_rng(7)
     V, P, L = 100, 2000, 10
     pts = np.stack([rng.uniform(-6, 6, P), rng.uniform(-3, 3, P),
                     rng.uniform(4, 30, P)], 1)
+    ang = 0.002 * np.arange(V)
+    ca, sa = np.cos(ang), np.sin(ang)
     Rs = np.zeros((V, 3, 3))
-    ts = np.zeros((V, 3))
-    for v in range(V):
-        Rs[v] = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002 * v, 0.0])))
-        c = np.array([0.02 * v, 0.0, 0.12 * v])
-        ts[v] = -Rs[v] @ c
-    obs_xy = np.zeros((P, L, 2))
-    obs_view = np.zeros((P, L), np.int32)
-    obs_valid = np.zeros((P, L), bool)
+    Rs[:, 0, 0], Rs[:, 0, 2] = ca, sa          # rotation about +y
+    Rs[:, 1, 1] = 1.0
+    Rs[:, 2, 0], Rs[:, 2, 2] = -sa, ca
+    cs = np.stack([0.02 * np.arange(V), np.zeros(V), 0.12 * np.arange(V)], 1)
+    ts = -np.einsum("vij,vj->vi", Rs, cs)
     first = rng.integers(0, V - L, P)
-    for i in range(P):
-        for s in range(L):
-            v = first[i] + s
-            pc = Rs[v] @ pts[i] + ts[v]
-            if pc[2] < 0.5:
-                continue
-            obs_xy[i, s] = pc[:2] / pc[2] + rng.normal(0, 5e-4, 2)
-            obs_view[i, s] = v
-            obs_valid[i, s] = True
+    views = first[:, None] + np.arange(L)[None, :]          # [P, L]
+    pc = np.einsum("plij,pj->pli", Rs[views], pts) + ts[views]
+    obs_valid = pc[..., 2] >= 0.5
+    z = np.where(np.abs(pc[..., 2]) < 1e-12, 1e-12, pc[..., 2])
+    obs_xy = pc[..., :2] / z[..., None] + rng.normal(0, 5e-4, (P, L, 2))
+    obs_xy[~obs_valid] = 0.0
+    obs_view = np.where(obs_valid, views, 0).astype(np.int32)
     # perturb the initial guess (BA has real work to do)
     Rs_n = Rs.copy()
     ts_n = ts + rng.normal(0, 0.01, ts.shape)
     pts_n = pts + rng.normal(0, 0.05, pts.shape)
     fixed = np.zeros(V, bool)
     fixed[:2] = True
+    return Rs_n, ts_n, pts_n, obs_xy, obs_view, obs_valid, fixed
+
+
+def _np_lm_schur_baseline(Rs, ts, pts, obs_xy, obs_view, obs_valid, fixed,
+                          iters=10):
+    """CPU sparse-Schur LM baseline (vectorized numpy + scipy Cholesky,
+    f64) — the documented stand-in for the reference's ddogleg
+    ``UnconstrainedLeastSquaresSchur`` (BundleAdjustmentSchur.java:87; no
+    JDK ships in this image, so BoofCV itself cannot be run).  Same
+    algorithm class: analytic jacobians, per-point 3x3 block elimination,
+    reduced camera system, damped Cholesky, accept/reject.  Vectorized
+    numpy + MKL-class BLAS is, if anything, generous to the CPU side.
+    Returns (seconds per 10-iteration solve, final cost).
+    """
+    import scipy.linalg as sla
+
+    V = len(Rs)
+    P, L = obs_view.shape
+    D = 6
+    R, t, X = Rs.copy(), ts.copy(), pts.copy()
+    lam = 1e-3
+    vmask = obs_valid
+
+    def hat(w):
+        z = np.zeros_like(w[..., 0])
+        return np.stack([
+            np.stack([z, -w[..., 2], w[..., 1]], -1),
+            np.stack([w[..., 2], z, -w[..., 0]], -1),
+            np.stack([-w[..., 1], w[..., 0], z], -1)], -2)
+
+    def exp_so3(w):
+        th = np.linalg.norm(w, axis=-1, keepdims=True)
+        th = np.maximum(th, 1e-12)
+        K = hat(w / th)
+        s, c = np.sin(th)[..., None], np.cos(th)[..., None]
+        return np.eye(3) + s * K + (1 - c) * (K @ K)
+
+    def cost_of(R, t, X):
+        Xc = np.einsum("plij,pj->pli", R[obs_view], X) + t[obs_view]
+        z = np.where(np.abs(Xc[..., 2]) < 1e-12, 1e-12, Xc[..., 2])
+        r = Xc[..., :2] / z[..., None] - obs_xy
+        r[~vmask] = 0.0
+        return 0.5 * np.sum(r * r)
+
+    c0 = cost_of(R, t, X)
+    t_start = time.perf_counter()
+    for _ in range(iters):
+        R_o, t_o = R[obs_view], t[obs_view]
+        Xc = np.einsum("plij,pj->pli", R_o, X) + t_o
+        z = np.where(np.abs(Xc[..., 2]) < 1e-12, 1e-12, Xc[..., 2])
+        iz = 1.0 / z
+        xx, yy = Xc[..., 0], Xc[..., 1]
+        zero = np.zeros_like(iz)
+        A = np.stack([np.stack([iz, zero, -xx * iz * iz], -1),
+                      np.stack([zero, iz, -yy * iz * iz], -1)], -2)
+        r = Xc[..., :2] * iz[..., None] - obs_xy
+        Jv = np.concatenate([-(A @ hat(Xc)), A], -1)       # [P,L,2,6]
+        Jp = A @ R_o                                        # [P,L,2,3]
+        Jv[~vmask] = 0.0
+        Jp[~vmask] = 0.0
+        r[~vmask] = 0.0
+        Hpp = np.einsum("plki,plkj->pij", Jp, Jp) \
+            + (lam + 1e-12) * np.eye(3)
+        W = np.einsum("plki,plkj->plij", Jp, Jv)
+        gp = -np.einsum("plki,plk->pi", Jp, r)
+        gv_obs = -np.einsum("plki,plk->pli", Jv, r)
+        Hpp_inv = np.linalg.inv(Hpp)
+        Hvv_obs = np.einsum("plki,plkj->plij", Jv, Jv)
+        flat = obs_view.reshape(-1)
+        Hvv = np.zeros((V, D, D))
+        np.add.at(Hvv, flat, Hvv_obs.reshape(-1, D, D))
+        gv = np.zeros((V, D))
+        np.add.at(gv, flat, gv_obs.reshape(-1, D))
+        Y = np.einsum("pij,pljk->plik", Hpp_inv, W)
+        pair = np.einsum("plik,pmij->plmkj", W, Y)
+        vi = np.broadcast_to(obs_view[:, :, None], (P, L, L)).reshape(-1)
+        vj = np.broadcast_to(obs_view[:, None, :], (P, L, L)).reshape(-1)
+        S = np.zeros((V * V, D, D))
+        np.add.at(S, vi * V + vj, pair.reshape(-1, D, D))
+        S = -S.reshape(V, V, D, D)
+        S[np.arange(V), np.arange(V)] += Hvv \
+            + lam * np.eye(D)
+        hp = np.einsum("pij,pj->pi", Hpp_inv, gp)
+        corr = np.einsum("plij,pi->plj", W, hp)
+        gv_t = gv.copy()
+        np.subtract.at(gv_t, flat, corr.reshape(-1, D))
+        # gauge fix
+        free = np.repeat(~fixed, D).astype(float)
+        Sd = S.transpose(0, 2, 1, 3).reshape(V * D, V * D)
+        Sd = Sd * free[:, None] * free[None, :]
+        Sd[np.diag_indices(V * D)] += 1.0 - free
+        gd = gv_t.reshape(-1) * free
+        cf = sla.cho_factor(Sd)
+        dv = sla.cho_solve(cf, gd).reshape(V, D) * free.reshape(V, D)
+        dp = np.einsum("pij,pj->pi", Hpp_inv,
+                       gp - np.einsum("plij,plj->pi", W, dv[obs_view]))
+        dR = exp_so3(dv[:, :3])
+        Rn = dR @ R
+        tn = np.einsum("vij,vj->vi", dR, t) + dv[:, 3:]
+        Xn = X + dp
+        c1 = cost_of(Rn, tn, Xn)
+        if np.isfinite(c1) and c1 < c0:
+            R, t, X, c0 = Rn, tn, Xn, c1
+            lam = max(lam * 0.3, 1e-12)
+        else:
+            lam = min(lam * 10.0, 1e8)
+    return time.perf_counter() - t_start, c0
+
+
+def bench_window_ba():
+    """BASELINE.md north-star metric: BA solve ms per 100-keyframe window.
+
+    Synthetic forward-motion scene (100 kf / 2000 pts / 10 obs each) — the
+    f32 LM-Schur solve (boofcv_tpu.geo.ba, 10 iterations) timed
+    steady-state on device, vs the numpy/scipy CPU Schur baseline
+    (``_np_lm_schur_baseline``).
+    """
+    import sys
+    from boofcv_tpu.geo import ba
+
+    Rs_n, ts_n, pts_n, obs_xy, obs_view, obs_valid, fixed = _window_ba_scene()
     prob = ba.make_problem(Rs_n, ts_n, pts_n, obs_xy, obs_view, obs_valid,
-                           fixed_views=fixed)
+                           fixed_views=fixed, dtype=jnp.float32)
     t0 = time.perf_counter()
     out, info = ba.optimize(prob, iterations=10)
     jax.block_until_ready(out.points)
     print(f"# window-BA compile+solve: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    reps = 3
+    reps = 5
     for _ in range(reps):
         out, info = ba.optimize(prob, iterations=10)
         jax.block_until_ready(out.points)
@@ -164,11 +281,17 @@ def bench_window_ba():
     rms = float(np.sqrt((np.linalg.norm(r, axis=-1)[obs_valid] ** 2).mean()))
     print(f"# window-BA final reproj RMS (normalized coords): {rms:.2e}",
           file=sys.stderr, flush=True)
+
+    cpu_s, cpu_cost = _np_lm_schur_baseline(
+        Rs_n, ts_n, pts_n, obs_xy, obs_view, obs_valid, fixed)
+    print(f"# window-BA CPU scipy-Schur baseline: {cpu_s*1000:.1f} ms "
+          f"(final cost {cpu_cost:.3e} vs TPU {float(info['final_cost']):.3e})",
+          file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "window_ba_solve_ms_100kf_2000pt_10it",
         "value": round(ms, 1),
         "unit": "ms",
-        "vs_baseline": None,
+        "vs_baseline": round(cpu_s * 1000.0 / ms, 2),
     }))
 
 

@@ -50,18 +50,27 @@ def pad_points_for_mesh(prob: BAProblem, n_shards: int) -> BAProblem:
     )
 
 
-def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int):
-    """Distributed reduced-camera solve without materializing the psummed
-    [V, V, D, D] system on any device.
+def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int,
+                       axis: str = SHARD_AXIS):
+    """Distributed reduced-camera solve without REDUCING the full
+    [V, V, D, D] system onto any device.
 
     ``S_local`` is this shard's un-reduced contribution; ``psum_scatter``
-    leaves each device one block-row slab [V/n, V, D, D].  The damped,
-    gauge-fixed SPD system is then solved by conjugate gradients with a
-    block-Jacobi (per-view-diagonal) preconditioner: one tiled
-    ``all_gather`` of [V, D] per matvec — O(V D) traffic per iteration vs
-    the O(V^2 D^2) full psum.  Runs inside shard_map on the 1D mesh.
+    leaves each device one block-row slab [V/n, V, D, D] of the *summed*
+    system.  The damped, gauge-fixed SPD system is then solved by
+    conjugate gradients with a block-Jacobi (per-view-diagonal)
+    preconditioner: one tiled ``all_gather`` of [V, D] per matvec —
+    O(V D) traffic per iteration vs the O(V^2 D^2) full psum.
+
+    Memory note: each device still materializes its own un-reduced
+    [V, V, D, D] contribution (and the [P/n, L, L, D, D] pair tensor)
+    before the psum_scatter — peak memory is NOT reduced vs the cholesky
+    path; what shrinks is post-reduction storage and all-reduce traffic.
+    A destination-row-sharded Schur fill (ring reduce-scatter of pair
+    contributions) would cut the peak too; not yet implemented.
+    Runs inside shard_map on the 1D mesh; ``axis`` is the mesh's sole
+    axis name.
     """
-    axis = SHARD_AXIS
     V, _, D, _ = S_local.shape
     n = jax.lax.psum(1, axis)
     rows = V // n
@@ -137,11 +146,14 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         every device, replicated Cholesky solve.  Exact; memory/traffic
         O(V^2 D^2) per device — fine to a few hundred views.
       * "pcg" — ``psum_scatter`` the reduced system over view-block ROWS
-        (each device keeps [V/n, V, D, D]) and solve by distributed
-        block-Jacobi-preconditioned conjugate gradients: matvec = local
-        row-block product + one tiled ``all_gather`` of [V, D] per
-        iteration.  Per-device memory O(V^2 D^2 / n), per-iteration
-        traffic O(V D) — the V>1k regime.  1D meshes only.
+        (each device keeps [V/n, V, D, D] of the summed system) and solve
+        by distributed block-Jacobi-preconditioned conjugate gradients:
+        matvec = local row-block product + one tiled ``all_gather`` of
+        [V, D] per iteration.  Cuts all-reduce traffic O(V^2 D^2) ->
+        O(V^2 D^2 / n) and post-reduction storage by n; NOTE peak memory
+        still includes each device's un-reduced local [V, V, D, D]
+        contribution before the scatter (see _solve_reduced_pcg).
+        1D meshes only.
     """
     n_shards = mesh.devices.size
     if reduced_solver == "pcg" and len(mesh.axis_names) != 1:
@@ -166,11 +178,14 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
                                           prob.intr.dtype)]),
                 fixed_views=jnp.concatenate(
                     [prob.fixed_views, jnp.ones(V_pad, bool)]))
+    # run in the problem's own float dtype (f64 parity path by default;
+    # f32 is the TPU-native fast path — see ba.optimize)
+    dtype = prob.points.dtype
     prob = prob._replace(
-        R=prob.R.astype(jnp.float64), t=prob.t.astype(jnp.float64),
-        intr=prob.intr.astype(jnp.float64),
-        points=prob.points.astype(jnp.float64),
-        obs_xy=prob.obs_xy.astype(jnp.float64))
+        R=prob.R.astype(dtype), t=prob.t.astype(dtype),
+        intr=prob.intr.astype(dtype),
+        points=prob.points.astype(dtype),
+        obs_xy=prob.obs_xy.astype(dtype))
     V = prob.R.shape[0]
     model = prob.model
 
@@ -191,20 +206,38 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         check_vma=False)
     def lm_step(R, t, intr, points, obs_xy, obs_view, obs_valid,
                 fixed_views, lam):
+        # full-f32 multiplies (TPU default matmul precision is bf16-grade
+        # — see ba._optimize_impl)
+        with jax.default_matmul_precision("highest"):
+            return _lm_step_inner(R, t, intr, points, obs_xy, obs_view,
+                                  obs_valid, fixed_views, lam)
+
+    def _lm_step_inner(R, t, intr, points, obs_xy, obs_view, obs_valid,
+                       fixed_views, lam):
         local = BAProblem(R, t, intr, points, obs_xy, obs_view, obs_valid,
                           fixed_views, model)
         Jv, Jp, r = ba._jacobians(local)
+        # Jacobi scaling with the globally-psummed GN diagonal so every
+        # shard scales the view columns identically (ba._scale_jacobians)
+        D = Jv.shape[-1]
+        hvv_diag = jnp.zeros((V, D), Jv.dtype).at[obs_view.reshape(-1)].add(
+            jnp.sum(Jv * Jv, axis=2).reshape(-1, D))
+        hvv_diag = jax.lax.psum(hvv_diag, axes)
+        Jv, Jp, s_v, s_p = ba._scale_jacobians(obs_view, Jv, Jp, V,
+                                               hvv_diag=hvv_diag)
         S, gv_t, Hpp_inv, W, gp = ba._local_system(
             obs_view, Jv, Jp, r, lam, V)
         gv_t = jax.lax.psum(gv_t, axes)
         if reduced_solver == "pcg":
             dv = _solve_reduced_pcg(S, gv_t, fixed_views, lam,
-                                    pcg_iterations)
+                                    pcg_iterations, axis=axes[0])
         else:
             # one all-reduce for the full reduced camera system
             S = jax.lax.psum(S, axes)
             dv = ba._solve_reduced(S, gv_t, fixed_views, lam)
         dp = ba._back_substitute(obs_view, Hpp_inv, W, gp, dv)
+        dv = dv / s_v
+        dp = dp / s_p
         # local cost contribution
         c_local = 0.5 * jnp.sum(r * r)
         c = jax.lax.psum(c_local, axes)
@@ -232,7 +265,7 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
 
     state0 = (prob.R, prob.t, prob.intr, prob.points)
     (state, _), costs = jax.lax.scan(
-        step, (state0, jnp.float64(lam0)), None, length=iterations)
+        step, (state0, jnp.asarray(lam0, dtype)), None, length=iterations)
     out = prob._replace(R=state[0], t=state[1], intr=state[2],
                         points=state[3])
     final = cost_state(state)

@@ -459,9 +459,11 @@ def block_match_best5(left: jnp.ndarray, right: jnp.ndarray,
     """
     cost = cost_volume(left, right, cfg)
     ry, rx = cfg.radius_y, cfg.radius_x
-    big = jnp.float32(1e8)
-    pad_c = jnp.pad(cost, ((0, 0), (ry, ry), (rx, rx)),
-                    constant_values=big)
+    # replicate-edge pad: corner windows that fall outside the image
+    # degrade to the nearest in-bounds window score instead of poisoning
+    # border pixels (reference clamps corner windows at image borders,
+    # DisparityBlockMatchBestFive select)
+    pad_c = jnp.pad(cost, ((0, 0), (ry, ry), (rx, rx)), mode="edge")
     h, w = cost.shape[1], cost.shape[2]
 
     def corner(dy, dx):

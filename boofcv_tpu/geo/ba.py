@@ -29,6 +29,7 @@ forward) for Bundle-Adjustment-in-the-Large interop
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -79,57 +80,102 @@ def n_intr(model: str) -> int:
     return {"normalized": 0, "snavely": 3}[model]
 
 
+@partial(jax.jit, static_argnames=("model",))
+def _residuals_impl(R, t, intr, points, obs_xy, obs_view, obs_valid, model):
+    # full-f32 multiplies: TPU default matmul precision is bf16-grade,
+    # far too coarse for reprojection residuals at the 1e-4 level
+    with jax.default_matmul_precision("highest"):
+        R_o = R[obs_view]        # [P, L, 3, 3]
+        t_o = t[obs_view]        # [P, L, 3]
+        intr_o = intr[obs_view]  # [P, L, K]
+        Xc = jnp.einsum("plij,pj->pli", R_o, points) + t_o
+        proj = _project(model, Xc, intr_o)
+        r = proj - obs_xy
+        return jnp.where(obs_valid[..., None], r, 0.0)
+
+
 def residuals(prob: BAProblem):
-    """[P, L, 2] residuals (proj - obs), zeroed where invalid."""
-    R_o = prob.R[prob.obs_view]        # [P, L, 3, 3]
-    t_o = prob.t[prob.obs_view]        # [P, L, 3]
-    intr_o = prob.intr[prob.obs_view]  # [P, L, K]
-    Xc = jnp.einsum("plij,pj->pli", R_o, prob.points) + t_o
-    proj = _project(prob.model, Xc, intr_o)
-    r = proj - prob.obs_xy
-    return jnp.where(prob.obs_valid[..., None], r, 0.0)
+    """[P, L, 2] residuals (proj - obs), zeroed where invalid.
+
+    One jitted dispatch (eager op chains pay a tunnel round-trip per op
+    on remote-TPU backends).
+    """
+    return _residuals_impl(prob.R, prob.t, prob.intr, prob.points,
+                           prob.obs_xy, prob.obs_view, prob.obs_valid,
+                           prob.model)
 
 
 def cost(prob: BAProblem):
-    r = residuals(prob)
+    """0.5 * sum of squared residuals, accumulated in f64.
+
+    The f64 accumulation costs next to nothing (one [P*L*2] reduction)
+    and keeps LM accept/reject decisions reliable on the f32 fast path."""
+    r = residuals(prob).astype(jnp.float64)
     return 0.5 * jnp.sum(r * r)
 
 
-def _obs_residual(model, R, t, intr, X, xy):
-    """Single-observation residual as a function of local (xi, dX, dintr)."""
-    def f(xi, dX, dintr):
-        dR, dt = se3.exp_se3(xi)
-        Rc, tc = se3.compose(dR, dt, R, t)
-        Xc = Rc @ (X + dX) + tc
-        return _project(model, Xc, intr + dintr) - xy
-    return f
+def _proj_jacobian(model: str, Xc, intr):
+    """Analytic projection jacobians: dproj/dXc [..., 2, 3] and
+    dproj/dintr [..., 2, K].
+
+    Replaces per-observation ``jacfwd`` (the reference writes these out by
+    hand too — BundleAdjustmentMetricSchurJacobian.java:231,
+    bundle/cameras/BundlePinholeBrown.java); analytic + dtype-polymorphic
+    keeps the whole LM iteration in one fused f32 XLA program on TPU.
+    """
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    iz = 1.0 / zs
+    zero = jnp.zeros_like(iz)
+    if model == "normalized":
+        # proj = (x/z, y/z)
+        A = jnp.stack([
+            jnp.stack([iz, zero, -x * iz * iz], axis=-1),
+            jnp.stack([zero, iz, -y * iz * iz], axis=-1)], axis=-2)
+        return A, jnp.zeros(Xc.shape[:-1] + (2, 0), Xc.dtype)
+    if model == "snavely":
+        # p = -(x,y)/z; s = 1 + k1 r^2 + k2 r^4; proj = f s p
+        p = -Xc[..., :2] * iz[..., None]
+        f, k1, k2 = intr[..., 0], intr[..., 1], intr[..., 2]
+        r2 = jnp.sum(p * p, axis=-1)
+        s = 1.0 + k1 * r2 + k2 * r2 * r2
+        ds_dp = (2.0 * k1 + 4.0 * k2 * r2)[..., None] * p      # [..., 2]
+        eye2 = jnp.eye(2, dtype=Xc.dtype)
+        dproj_dp = f[..., None, None] * (
+            s[..., None, None] * eye2
+            + p[..., :, None] * ds_dp[..., None, :])           # [..., 2, 2]
+        dp_dXc = jnp.stack([
+            jnp.stack([-iz, zero, x * iz * iz], axis=-1),
+            jnp.stack([zero, -iz, y * iz * iz], axis=-1)], axis=-2)
+        A = dproj_dp @ dp_dXc
+        Ji = jnp.stack([s[..., None] * p,
+                        (f * r2)[..., None] * p,
+                        (f * r2 * r2)[..., None] * p], axis=-1)  # [..., 2, 3]
+        return A, Ji
+    raise ValueError(f"unknown camera model {model!r}")
 
 
 def _jacobians(prob: BAProblem):
-    """Per-observation jacobians at the current state.
+    """Per-observation analytic jacobians at the current state.
+
+    Local parameterization matches ``_apply_step``: pose perturbed on the
+    left by ``exp_se3(xi)`` (xi = (w, v), rotation first), point by +dX,
+    intrinsics by +dintr.  At xi=0: dXc/dw = -hat(Xc), dXc/dv = I,
+    dXc/dX = R.
 
     Returns Jv [P, L, 2, D] (D = 6 + n_intr), Jp [P, L, 2, 3], r [P, L, 2].
     """
     k = n_intr(prob.model)
-    d = 6 + k
-    model = prob.model
-
-    def one(R, t, intr, X, xy):
-        f = _obs_residual(model, R, t, intr, X, xy)
-        xi0 = jnp.zeros((6,), jnp.float64)
-        dX0 = jnp.zeros((3,), jnp.float64)
-        di0 = jnp.zeros((max(k, 1),), jnp.float64)[:k] if k else jnp.zeros((0,), jnp.float64)
-        r = f(xi0, dX0, di0)
-        Jxi, JX, Ji = jax.jacfwd(f, argnums=(0, 1, 2))(xi0, dX0, di0)
-        Jv = jnp.concatenate([Jxi, Ji], axis=-1) if k else Jxi
-        return Jv, JX, r
-
-    R_o = prob.R[prob.obs_view]
-    t_o = prob.t[prob.obs_view]
-    intr_o = prob.intr[prob.obs_view]
-    Xb = jnp.broadcast_to(prob.points[:, None, :], prob.obs_xy.shape[:2] + (3,))
-    Jv, Jp, r = jax.vmap(jax.vmap(one))(
-        R_o, t_o, intr_o, Xb.astype(jnp.float64), prob.obs_xy.astype(jnp.float64))
+    R_o = prob.R[prob.obs_view]        # [P, L, 3, 3]
+    t_o = prob.t[prob.obs_view]        # [P, L, 3]
+    intr_o = prob.intr[prob.obs_view]  # [P, L, K]
+    Xc = jnp.einsum("plij,pj->pli", R_o, prob.points) + t_o
+    r = _project(prob.model, Xc, intr_o) - prob.obs_xy
+    A, Ji = _proj_jacobian(prob.model, Xc, intr_o)   # [P,L,2,3], [P,L,2,k]
+    Jrot = -jnp.einsum("plij,pljk->plik", A, se3.hat(Xc))
+    parts = [Jrot, A] + ([Ji] if k else [])
+    Jv = jnp.concatenate(parts, axis=-1)             # [P, L, 2, 6+k]
+    Jp = jnp.einsum("plij,pljk->plik", A, R_o)       # [P, L, 2, 3]
     valid = prob.obs_valid[..., None, None]
     Jv = jnp.where(valid, Jv, 0.0)
     Jp = jnp.where(valid, Jp, 0.0)
@@ -137,12 +183,43 @@ def _jacobians(prob: BAProblem):
     return Jv, Jp, r
 
 
-def _local_system(obs_view, Jv, Jp, r, lam, num_views: int):
+def _scale_jacobians(obs_view, Jv, Jp, num_views: int, hvv_diag=None):
+    """Jacobi (Marquardt) column scaling: divide each parameter column by
+    sqrt of its Gauss-Newton diagonal so Hpp / Hvv have unit diagonals.
+
+    Cuts the condition number the (f32) Cholesky must survive by orders
+    of magnitude — the same normalization ddogleg's LM applies via diag
+    scaling and the reference via ScaleSceneStructure.  Returns
+    (Jv_scaled, Jp_scaled, s_v [V, D], s_p [P, 3]); steps computed in the
+    scaled space are unscaled by dividing by s_v / s_p again.
+
+    ``hvv_diag``: pre-reduced [V, D] GN diagonal — the distributed path
+    passes the psummed diagonal so every shard scales identically.
+    """
+    if hvv_diag is None:
+        V, D = num_views, Jv.shape[-1]
+        hvv_diag = jnp.zeros((V, D), Jv.dtype).at[obs_view.reshape(-1)].add(
+            jnp.sum(Jv * Jv, axis=2).reshape(-1, D))
+    s_v = jnp.maximum(jnp.sqrt(hvv_diag), 1e-6)
+    s_p = jnp.maximum(jnp.sqrt(jnp.sum(Jp * Jp, axis=(1, 2))), 1e-6)
+    Jv_s = Jv / s_v[obs_view][:, :, None, :]
+    Jp_s = Jp / s_p[:, None, None, :]
+    return Jv_s, Jp_s, s_v, s_p
+
+
+def _local_system(obs_view, Jv, Jp, r, lam, num_views: int,
+                  solve_dtype=None):
     """Per-point-shard contributions to the reduced camera system.
 
     Pure function of a (possibly sharded) slice of the point axis — the
     distributed BA psums its outputs (S_partial, gv_t_partial) across
     shards (SURVEY §2.9 "NEW: model/spatial parallel").
+
+    ``solve_dtype``: dtype for the (tiny, conditioning-critical) 3x3
+    point-block inversions — the f32 fast path passes f64 here; the
+    batched inverses are ~100 flops/point, so emulated f64 is free, and
+    it removes the eps*cond(Hpp) error that otherwise poisons the whole
+    Schur complement.
 
     Returns (S_partial [V, V, D, D] incl. Hvv on the diagonal,
     gv_t_partial [V, D], Hpp_inv [P, 3, 3], W [P, L, 3, D], gp [P, 3]).
@@ -157,8 +234,12 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int):
     gv_obs = -jnp.einsum("plki,plk->pli", Jv, r)             # [P, L, D]
 
     from boofcv_tpu.geo.smalllinalg import inv3
-    eyeP = jnp.eye(3, dtype=Hpp.dtype)
-    Hpp_inv = inv3(Hpp + (lam + 1e-12) * eyeP)
+    if solve_dtype is None:
+        solve_dtype = Hpp.dtype
+    eyeP = jnp.eye(3, dtype=solve_dtype)
+    Hpp_inv = inv3(Hpp.astype(solve_dtype)
+                   + (jnp.asarray(lam, solve_dtype) + 1e-12) * eyeP
+                   ).astype(Hpp.dtype)
 
     Hvv_obs = jnp.einsum("plki,plkj->plij", Jv, Jv)          # [P, L, D, D]
     flat_view = obs_view.reshape(-1)
@@ -186,12 +267,19 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int):
     return S, gv_t, Hpp_inv, W, gp
 
 
-def _solve_reduced(S, gv_t, fixed_views, lam):
+def _solve_reduced(S, gv_t, fixed_views, lam, solve_dtype=None):
     """Damp + gauge-fix the (already psummed) reduced system and solve.
 
-    Returns delta_view [V, D].
+    ``solve_dtype``: dtype for the Cholesky factor/solve of the [VD, VD]
+    system (f64 on the f32 fast path — the reduced camera system is the
+    conditioning bottleneck of BA).  Returns delta_view [V, D].
     """
     V, _, D, _ = S.shape
+    out_dtype = S.dtype
+    if solve_dtype is not None and solve_dtype != S.dtype:
+        S = S.astype(solve_dtype)
+        gv_t = gv_t.astype(solve_dtype)
+        lam = jnp.asarray(lam, solve_dtype)
     S = S.at[jnp.arange(V), jnp.arange(V)].add(
         lam * jnp.eye(D, dtype=S.dtype))
 
@@ -214,7 +302,7 @@ def _solve_reduced(S, gv_t, fixed_views, lam):
     y = jax.scipy.linalg.solve_triangular(L_chol, gd, lower=True)
     dv = jax.scipy.linalg.solve_triangular(
         L_chol.T, y, lower=False).reshape(V, D)
-    return dv * free_vd
+    return (dv * free_vd).astype(out_dtype)
 
 
 def _back_substitute(obs_view, Hpp_inv, W, gp, dv):
@@ -224,17 +312,21 @@ def _back_substitute(obs_view, Hpp_inv, W, gp, dv):
     return jnp.einsum("pij,pj->pi", Hpp_inv, gp - corr_p)
 
 
-def _schur_solve(prob: BAProblem, Jv, Jp, r, lam):
+def _schur_solve(prob: BAProblem, Jv, Jp, r, lam, solve_dtype=None):
     """One damped Schur-complement solve (single-device path).
 
-    Returns (delta_view [V, D], delta_point [P, 3]).
+    Solved in the Jacobi-scaled parameter space (``_scale_jacobians``) —
+    lam acts as relative (Marquardt) damping there.  Returns
+    (delta_view [V, D], delta_point [P, 3]).
     """
     V = prob.R.shape[0]
+    Jv_s, Jp_s, s_v, s_p = _scale_jacobians(prob.obs_view, Jv, Jp, V)
     S, gv_t, Hpp_inv, W, gp = _local_system(
-        prob.obs_view, Jv, Jp, r, lam, V)
-    dv = _solve_reduced(S, gv_t, prob.fixed_views, lam)
+        prob.obs_view, Jv_s, Jp_s, r, lam, V, solve_dtype=solve_dtype)
+    dv = _solve_reduced(S, gv_t, prob.fixed_views, lam,
+                        solve_dtype=solve_dtype)
     dp = _back_substitute(prob.obs_view, Hpp_inv, W, gp, dv)
-    return dv, dp
+    return dv / s_v, dp / s_p
 
 
 def _apply_step(prob: BAProblem, dv, dp):
@@ -246,21 +338,24 @@ def _apply_step(prob: BAProblem, dv, dp):
     return prob._replace(R=Rn, t=tn, intr=intr_n, points=prob.points + dp)
 
 
-def optimize(prob: BAProblem, iterations: int = 20, lam0: float = 1e-3,
-             lam_up: float = 10.0, lam_down: float = 0.3):
-    """LM-Schur bundle adjustment (BundleAdjustmentSchur.optimize:87 analog).
+@partial(jax.jit, static_argnames=("model", "iterations", "lam0", "lam_up",
+                                   "lam_down", "mixed"))
+def _optimize_impl(R, t, intr, points, obs_xy, obs_view, obs_valid,
+                   fixed_views, model, iterations, lam0, lam_up, lam_down,
+                   mixed):
+    """Whole LM loop as ONE compiled program (one dispatch per solve —
+    eager op chains pay a tunnel round-trip per op on remote backends).
 
-    Fixed iteration count, branchless accept/reject.  Returns
-    (optimized problem, info dict of per-iteration costs).
-    """
-    prob = prob._replace(
-        R=prob.R.astype(jnp.float64), t=prob.t.astype(jnp.float64),
-        intr=prob.intr.astype(jnp.float64),
-        points=prob.points.astype(jnp.float64),
-        obs_xy=prob.obs_xy.astype(jnp.float64))
+    Traced under matmul precision 'highest': the TPU default computes f32
+    matmuls/einsums at bf16-grade precision, which wrecks the Schur
+    assembly (observed: final cost 10x worse than the same f32 program on
+    CPU).  The BA einsums have tiny inner dims (3/6), so full-f32
+    multiplies cost little."""
+    dtype = points.dtype
+    prob = BAProblem(R, t, intr, points, obs_xy, obs_view, obs_valid,
+                     fixed_views, model)
+    solve_dtype = jnp.float64 if mixed else None
 
-    # scan carries only the optimized state (model str / index arrays are
-    # static or constant and stay closed-over)
     def with_state(state):
         R, t, intr, points = state
         return prob._replace(R=R, t=t, intr=intr, points=points)
@@ -269,7 +364,7 @@ def optimize(prob: BAProblem, iterations: int = 20, lam0: float = 1e-3,
         state, lam = carry
         cur = with_state(state)
         Jv, Jp, r = _jacobians(cur)
-        dv, dp = _schur_solve(cur, Jv, Jp, r, lam)
+        dv, dp = _schur_solve(cur, Jv, Jp, r, lam, solve_dtype=solve_dtype)
         cand = _apply_step(cur, dv, dp)
         c0 = cost(cur)
         c1 = cost(cand)
@@ -283,23 +378,65 @@ def optimize(prob: BAProblem, iterations: int = 20, lam0: float = 1e-3,
         return (new_state, lam_n), jnp.where(good, c1, c0)
 
     state0 = (prob.R, prob.t, prob.intr, prob.points)
-    (state, _), costs = jax.lax.scan(
-        step, (state0, jnp.float64(lam0)), None, length=iterations)
-    out = with_state(state)
-    return out, {"costs": costs, "initial_cost": cost(prob),
-                 "final_cost": cost(out)}
+    with jax.default_matmul_precision("highest"):
+        (state, _), costs = jax.lax.scan(
+            step, (state0, jnp.asarray(lam0, dtype)), None,
+            length=iterations)
+        out = with_state(state)
+        return ((out.R, out.t, out.intr, out.points), costs, cost(prob),
+                cost(out))
+
+
+def optimize(prob: BAProblem, iterations: int = 20, lam0: float = 1e-3,
+             lam_up: float = 10.0, lam_down: float = 0.3,
+             mixed_precision: bool | None = None):
+    """LM-Schur bundle adjustment (BundleAdjustmentSchur.optimize:87 analog).
+
+    Fixed iteration count, branchless accept/reject.  Returns
+    (optimized problem, info dict of per-iteration costs).
+
+    Runs in the problem's own float dtype (``make_problem(dtype=...)``):
+    f64 for oracle-grade accuracy on CPU, f32 for the TPU-native fast
+    path (f64 is software-emulated on TPU and was the round-2
+    bottleneck).  On the f32 path, ``mixed_precision`` (default on for
+    f32 problems) computes the two conditioning-critical tiny pieces —
+    batched 3x3 point-block inverses and the [6V, 6V] reduced-system
+    Cholesky — in f64: a negligible flop count that restores
+    near-f64 convergence.
+    """
+    dtype = prob.points.dtype
+    if mixed_precision is None:
+        mixed_precision = dtype == jnp.float32
+    prob = prob._replace(
+        R=prob.R.astype(dtype), t=prob.t.astype(dtype),
+        intr=prob.intr.astype(dtype),
+        points=prob.points.astype(dtype),
+        obs_xy=prob.obs_xy.astype(dtype))
+    state, costs, c_init, c_final = _optimize_impl(
+        prob.R, prob.t, prob.intr, prob.points, prob.obs_xy, prob.obs_view,
+        prob.obs_valid, prob.fixed_views, prob.model, int(iterations),
+        float(lam0), float(lam_up), float(lam_down), bool(mixed_precision))
+    out = prob._replace(R=state[0], t=state[1], intr=state[2],
+                        points=state[3])
+    return out, {"costs": costs, "initial_cost": c_init,
+                 "final_cost": c_final}
 
 
 def make_problem(R, t, points, obs_xy, obs_view, obs_valid,
-                 intr=None, model: str = "normalized", fixed_views=None):
-    """Convenience constructor with dtype/shape policy applied."""
+                 intr=None, model: str = "normalized", fixed_views=None,
+                 dtype=jnp.float64):
+    """Convenience constructor with dtype/shape policy applied.
+
+    ``dtype=jnp.float64`` (default) is the oracle/parity path;
+    ``jnp.float32`` is the TPU-native fast path.
+    """
     V = R.shape[0]
     if intr is None:
-        intr = jnp.zeros((V, n_intr(model)), jnp.float64)
+        intr = jnp.zeros((V, n_intr(model)), dtype)
     if fixed_views is None:
         fixed_views = jnp.zeros((V,), bool).at[0].set(True)
     return BAProblem(
-        jnp.asarray(R, jnp.float64), jnp.asarray(t, jnp.float64),
-        jnp.asarray(intr, jnp.float64), jnp.asarray(points, jnp.float64),
-        jnp.asarray(obs_xy, jnp.float64), jnp.asarray(obs_view, jnp.int32),
+        jnp.asarray(R, dtype), jnp.asarray(t, dtype),
+        jnp.asarray(intr, dtype), jnp.asarray(points, dtype),
+        jnp.asarray(obs_xy, dtype), jnp.asarray(obs_view, jnp.int32),
         jnp.asarray(obs_valid, bool), jnp.asarray(fixed_views, bool), model)

@@ -198,7 +198,9 @@ def ransac_essential(key, p1n, p2n, num_hypotheses: int = 512,
         def solver(sample):
             s1, s2 = sample
             E, valid = epipolar.essential_nister5(s1, s2)
-            # invalid solutions were zeroed; Sampson on 0 gives nan -> loses
+            # invalid solutions come back as NaN (epipolar.py avoids the
+            # zero-matrix perfect-Sampson pitfall); ransac() maps NaN
+            # errors to inf, so they lose every vote
             return E
 
         res = ransac(key, (p1n, p2n), solver, scorer, sample_size=5,

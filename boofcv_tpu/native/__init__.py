@@ -141,6 +141,10 @@ def fh04_merge(wr, wd, wdr=None, wdl=None, k: float = 300.0,
     wr = np.ascontiguousarray(np.asarray(wr), dtype=np.float32)
     wd = np.ascontiguousarray(np.asarray(wd), dtype=np.float32)
     h, w = wr.shape
+    if (wdr is None) != (wdl is None):
+        raise ValueError(
+            "fh04_merge: provide both diagonal weight images (wdr AND wdl) "
+            "or neither")
     use_diag = int(wdr is not None)
     if use_diag:
         wdr = np.ascontiguousarray(np.asarray(wdr), dtype=np.float32)

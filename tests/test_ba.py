@@ -100,6 +100,72 @@ def test_ba_snavely_model():
     np.testing.assert_allclose(np.asarray(out.intr[:, 0]), intr[:, 0], atol=0.5)
 
 
+def _jacobians_ad(prob):
+    """Autodiff oracle for the analytic jacobians (the round-2 impl)."""
+    k = ba.n_intr(prob.model)
+    model = prob.model
+
+    def one(R, t, intr, X, xy):
+        def f(xi, dX, dintr):
+            dR, dt = se3.exp_se3(xi)
+            Rc, tc = se3.compose(dR, dt, R, t)
+            Xc = Rc @ (X + dX) + tc
+            return ba._project(model, Xc, intr + dintr) - xy
+        xi0 = jnp.zeros((6,), jnp.float64)
+        dX0 = jnp.zeros((3,), jnp.float64)
+        di0 = jnp.zeros((k,), jnp.float64)
+        Jxi, JX, Ji = jax.jacfwd(f, argnums=(0, 1, 2))(xi0, dX0, di0)
+        Jv = jnp.concatenate([Jxi, Ji], axis=-1) if k else Jxi
+        return Jv, JX
+
+    R_o = prob.R[prob.obs_view]
+    t_o = prob.t[prob.obs_view]
+    intr_o = prob.intr[prob.obs_view]
+    Xb = jnp.broadcast_to(prob.points[:, None, :],
+                          prob.obs_xy.shape[:2] + (3,))
+    Jv, Jp = jax.vmap(jax.vmap(one))(R_o, t_o, intr_o, Xb, prob.obs_xy)
+    valid = prob.obs_valid[..., None, None]
+    return jnp.where(valid, Jv, 0.0), jnp.where(valid, Jp, 0.0)
+
+
+def test_analytic_jacobians_match_autodiff():
+    for model in ("normalized", "snavely"):
+        rng = np.random.default_rng(11)
+        pts, Rs, ts, intr, oxy, ov, oval = build_scene(
+            rng, n_views=4, n_points=15, model=model)
+        if model == "snavely":
+            intr = intr + np.array([0.0, 0.02, 0.004])  # nonzero distortion
+        prob = ba.make_problem(Rs, ts, pts, oxy, ov, oval, intr=intr,
+                               model=model)
+        Jv, Jp, r = ba._jacobians(prob)
+        Jv_ad, Jp_ad = _jacobians_ad(prob)
+        np.testing.assert_allclose(np.asarray(Jv), np.asarray(Jv_ad),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Jp), np.asarray(Jp_ad),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_ba_f32_fast_path_converges():
+    """The TPU-native f32 path must reach the (injected) noise floor."""
+    rng = np.random.default_rng(5)
+    noise = 5e-4
+    pts, Rs, ts, intr, oxy, ov, oval = build_scene(rng, noise=noise)
+    Rp = Rs.copy(); tp = ts.copy()
+    for v in range(2, len(Rs)):
+        Rp[v] = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 0.005, 3)))) @ Rs[v]
+        tp[v] = ts[v] + rng.normal(0, 0.01, 3)
+    fixed = np.zeros(len(Rs), bool); fixed[:2] = True
+    prob = ba.make_problem(Rp, tp, pts + rng.normal(0, 0.02, pts.shape),
+                           oxy, ov, oval, fixed_views=fixed,
+                           dtype=jnp.float32)
+    assert prob.points.dtype == jnp.float32
+    out, info = ba.optimize(prob, iterations=15)
+    assert out.points.dtype == jnp.float32
+    n_obs = oval.sum()
+    rms = np.sqrt(2 * float(info["final_cost"]) / (2 * n_obs))
+    assert rms < 2.5 * noise
+
+
 def test_ba_cost_monotone_nonincreasing():
     rng = np.random.default_rng(3)
     pts, Rs, ts, intr, oxy, ov, oval = build_scene(rng, noise=1e-3)
