@@ -267,12 +267,17 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int,
     return S, gv_t, Hpp_inv, W, gp
 
 
-def _solve_reduced(S, gv_t, fixed_views, lam, solve_dtype=None):
+def _solve_reduced(S, gv_t, fixed_views, lam, solve_dtype=None,
+                   refine_steps: int = 0):
     """Damp + gauge-fix the (already psummed) reduced system and solve.
 
     ``solve_dtype``: dtype for the Cholesky factor/solve of the [VD, VD]
-    system (f64 on the f32 fast path — the reduced camera system is the
-    conditioning bottleneck of BA).  Returns delta_view [V, D].
+    system (the reduced camera system is the conditioning bottleneck of
+    BA).  ``refine_steps``: rounds of f64 iterative refinement — factor
+    once in S.dtype, then repeat x += solve(b - S x) with the residual
+    computed in f64 (one [VD, VD] matvec per round, ~1e4x fewer f64
+    flops than an f64 factorization, near-f64 solution quality).
+    Returns delta_view [V, D].
     """
     V, _, D, _ = S.shape
     out_dtype = S.dtype
@@ -299,10 +304,19 @@ def _solve_reduced(S, gv_t, fixed_views, lam, solve_dtype=None):
     # TPU-supported f64 path: Cholesky + triangular solves (LU is not
     # implemented on TPU; cholesky/eigh/svd are)
     L_chol = jnp.linalg.cholesky(Sd)
-    y = jax.scipy.linalg.solve_triangular(L_chol, gd, lower=True)
-    dv = jax.scipy.linalg.solve_triangular(
-        L_chol.T, y, lower=False).reshape(V, D)
-    return (dv * free_vd).astype(out_dtype)
+
+    def chol_solve(b):
+        y = jax.scipy.linalg.solve_triangular(L_chol, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L_chol.T, y, lower=False)
+
+    x = chol_solve(gd)
+    if refine_steps:
+        Sd64 = Sd.astype(jnp.float64)
+        gd64 = gd.astype(jnp.float64)
+        for _ in range(refine_steps):
+            res = gd64 - Sd64 @ x.astype(jnp.float64)
+            x = x + chol_solve(res.astype(Sd.dtype))
+    return (x.reshape(V, D) * free_vd).astype(out_dtype)
 
 
 def _back_substitute(obs_view, Hpp_inv, W, gp, dv):
@@ -312,11 +326,15 @@ def _back_substitute(obs_view, Hpp_inv, W, gp, dv):
     return jnp.einsum("pij,pj->pi", Hpp_inv, gp - corr_p)
 
 
-def _schur_solve(prob: BAProblem, Jv, Jp, r, lam, solve_dtype=None):
+def _schur_solve(prob: BAProblem, Jv, Jp, r, lam, solve_dtype=None,
+                 refine_steps: int = 0):
     """One damped Schur-complement solve (single-device path).
 
     Solved in the Jacobi-scaled parameter space (``_scale_jacobians``) —
-    lam acts as relative (Marquardt) damping there.  Returns
+    lam acts as relative (Marquardt) damping there.  ``solve_dtype``
+    applies to the 3x3 point-block inverses; the reduced system is
+    factored in the working dtype with ``refine_steps`` rounds of f64
+    iterative refinement (see _solve_reduced).  Returns
     (delta_view [V, D], delta_point [P, 3]).
     """
     V = prob.R.shape[0]
@@ -324,7 +342,7 @@ def _schur_solve(prob: BAProblem, Jv, Jp, r, lam, solve_dtype=None):
     S, gv_t, Hpp_inv, W, gp = _local_system(
         prob.obs_view, Jv_s, Jp_s, r, lam, V, solve_dtype=solve_dtype)
     dv = _solve_reduced(S, gv_t, prob.fixed_views, lam,
-                        solve_dtype=solve_dtype)
+                        refine_steps=refine_steps)
     dp = _back_substitute(prob.obs_view, Hpp_inv, W, gp, dv)
     return dv / s_v, dp / s_p
 
@@ -355,6 +373,7 @@ def _optimize_impl(R, t, intr, points, obs_xy, obs_view, obs_valid,
     prob = BAProblem(R, t, intr, points, obs_xy, obs_view, obs_valid,
                      fixed_views, model)
     solve_dtype = jnp.float64 if mixed else None
+    refine_steps = 2 if mixed else 0
 
     def with_state(state):
         R, t, intr, points = state
@@ -364,7 +383,8 @@ def _optimize_impl(R, t, intr, points, obs_xy, obs_view, obs_valid,
         state, lam = carry
         cur = with_state(state)
         Jv, Jp, r = _jacobians(cur)
-        dv, dp = _schur_solve(cur, Jv, Jp, r, lam, solve_dtype=solve_dtype)
+        dv, dp = _schur_solve(cur, Jv, Jp, r, lam, solve_dtype=solve_dtype,
+                              refine_steps=refine_steps)
         cand = _apply_step(cur, dv, dp)
         c0 = cost(cur)
         c1 = cost(cand)
