@@ -1,0 +1,33 @@
+"""Smoke tests: every runnable example must pass its own built-in check
+(exit code 0) on synthetic data — the examples are the de-facto
+acceptance surface of the reference (78 files under examples/)."""
+
+import importlib
+
+import pytest
+
+EXAMPLES = [
+    "fundamental_matrix",
+    "associate_points",
+    "stereo_disparity",
+    "image_stitching",
+    "dense_optical_flow",
+    "background_removal",
+    "fiducial_pose",
+    "tracker_object",
+    "point_feature_tracker",
+    "multiview_reconstruction",
+    "pnp",
+    "bundle_adjustment",
+    "detect_qr_code",
+    "segment_superpixels",
+]
+
+
+@pytest.mark.parametrize("name", EXAMPLES)
+def test_example_runs(name, capsys):
+    mod = importlib.import_module(f"boofcv_tpu.examples.{name}")
+    rc = mod.main([])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "OK" in out
