@@ -66,6 +66,91 @@ def rectify_calibrated(K1, K2, R, t) -> RectifiedPair:
                          jnp.asarray(Rrect), baseline)
 
 
+def rectify_uncalibrated(F, p1, p2, width: int, height: int):
+    """Uncalibrated (projective) stereo rectification from a fundamental
+    matrix and the point pairs that produced it.
+
+    Reference analog: RectifyFundamental.java:43 — Hartley's method
+    (IJCV'99; Hartley & Zisserman p.305): a homography H sends the second
+    epipole to infinity (translate center to origin -> rotate epipole
+    onto +x -> projective G = I with G[2,0] = -1/f), the matching
+    transform for the first image is H0 = H M with P2 = [M | m]
+    extracted from F, then an affine Ha minimizes the x-disparity of the
+    observations in a least-squares sense.
+
+    p1, p2: [N, 2] pixel correspondences.  Returns (rect1, rect2) 3x3
+    pixel homographies (numpy f64).  Raises ValueError when an epipole
+    falls inside the image (rectification undefined — reference
+    checkEpipoleInside).
+    """
+    from boofcv_tpu.geo import epipolar
+
+    F = np.asarray(F, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    e1, e2 = (np.asarray(e) for e in epipolar.epipoles_from_fundamental(
+        jnp.asarray(F)))
+    cx, cy = width // 2, height // 2
+    for e in (e1, e2):
+        x, y = e[0] / e[2], e[1] / e[2]
+        if 0 <= x < width and 0 <= y < height:
+            raise ValueError("epipole inside the image; projective "
+                             "rectification is undefined")
+
+    # H: send e2 to infinity
+    T = np.eye(3)
+    T[0, 2], T[1, 2] = -cx, -cy
+    x = e2[0] / e2[2] - cx
+    y = e2[1] / e2[2] - cy
+    theta = np.arctan2(-y, x)
+    c, s = np.cos(theta), np.sin(theta)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    f = np.hypot(x, y)
+    G = np.eye(3)
+    G[2, 0] = -1.0 / f
+    H = G @ R @ T
+
+    # matching transform: H0 = H M, M = [e2]x F + e2 v^T
+    # (fundamentalToProjective with v chosen to keep M nonsingular)
+    v = np.array([0.1, 0.5, 0.2])
+    e2x = np.array([[0, -e2[2], e2[1]], [e2[2], 0, -e2[0]],
+                    [-e2[1], e2[0], 0.0]])
+    M = e2x @ F + np.outer(e2, v)
+    H0 = H @ M
+
+    # affine Ha minimizing sum (a k.x + b k.y + c - c.x)^2  (H&Z p.306)
+    def apply(Hm, p):
+        q = np.concatenate([p, np.ones((len(p), 1))], 1) @ Hm.T
+        return q[:, :2] / q[:, 2:]
+
+    k = apply(H0, p1)
+    cc = apply(H, p2)
+    A = np.concatenate([k, np.ones((len(k), 1))], 1)
+    abc, *_ = np.linalg.lstsq(A, cc[:, 0], rcond=None)
+    Ha = np.eye(3)
+    Ha[0] = abc
+    return Ha @ H0, H
+
+
+def adjust_rectification(rect1, rect2, width: int, height: int):
+    """Scale/translate both rectifying homographies so image-1's corners
+    stay inside a width x height canvas (RectifyImageOps.fullViewLeft's
+    role for the uncalibrated path).  The same affine is applied to both
+    transforms, preserving the row-alignment property."""
+    rect1 = np.asarray(rect1, np.float64)
+    corners = np.array([[0, 0, 1], [width - 1, 0, 1],
+                        [width - 1, height - 1, 1], [0, height - 1, 1.0]])
+    q = corners @ rect1.T
+    q = q[:, :2] / q[:, 2:]
+    lo = q.min(axis=0)
+    hi = q.max(axis=0)
+    scale = min(width / (hi[0] - lo[0] + 1e-12),
+                height / (hi[1] - lo[1] + 1e-12))
+    A = np.array([[scale, 0, -lo[0] * scale],
+                  [0, scale, -lo[1] * scale], [0, 0, 1.0]])
+    return A @ rect1, A @ np.asarray(rect2, np.float64)
+
+
 def rectify_maps(H, height: int, width: int):
     """Inverse warp maps for ip.distort.remap: for each output pixel, the
     source pixel H^-1 (x, y, 1) (RectifyImageOps.transformRectToPixel)."""

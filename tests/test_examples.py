@@ -21,6 +21,7 @@ EXAMPLES = [
     "bundle_adjustment",
     "detect_qr_code",
     "segment_superpixels",
+    "stereo_uncalibrated",
 ]
 
 
