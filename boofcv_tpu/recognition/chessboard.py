@@ -165,6 +165,187 @@ def _order_grid(pts, rows, cols):
     return candidates[0][1]
 
 
+def _edge_is_lattice(image, p, q, n_t: int = 7, delta: float = 2.0):
+    """True when the segment p->q runs along a black/white square border.
+
+    Adjacent lattice corners are joined by a square edge: points offset
+    perpendicular to the segment are consistently dark on one side and
+    light on the other along its whole length.  Diagonal neighbors cut
+    through square interiors and fail the consistency test.  Batched over
+    edges: p, q [E, 2] (x, y).  (ChessboardCornerClusterFinder's
+    edge-intensity check, vectorized.)
+    """
+    from boofcv_tpu.ip import interpolate
+
+    p = np.asarray(p, np.float64)
+    q = np.asarray(q, np.float64)
+    d = q - p
+    length = np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+    u = d / length
+    nrm = np.stack([-u[:, 1], u[:, 0]], 1)
+    ts = (np.arange(1, n_t + 1) / (n_t + 1))[None, :, None]     # [1,T,1]
+    mid = p[:, None, :] + d[:, None, :] * ts                     # [E,T,2]
+    a = mid + delta * nrm[:, None, :]
+    b = mid - delta * nrm[:, None, :]
+    img = jnp.asarray(image, jnp.float32)
+    va = np.asarray(interpolate.bilinear(img, jnp.asarray(a[..., 1]),
+                                         jnp.asarray(a[..., 0])))
+    vb = np.asarray(interpolate.bilinear(img, jnp.asarray(b[..., 1]),
+                                         jnp.asarray(b[..., 0])))
+    diff = va - vb                                               # [E, T]
+    mag = np.abs(diff)
+    contrast = np.median(mag, axis=1)
+    same_sign = (np.abs(diff.sum(axis=1)) > 0.9 * mag.sum(axis=1))
+    strong = (mag > 0.25 * contrast[:, None]).all(axis=1)
+    return same_sign & strong & (contrast > 1e-3)
+
+
+def assemble_grid_connectivity(image, ys, xs, valid=None, k_neighbors: int = 8):
+    """Connectivity-graph grid assembly: UNKNOWN grid size, tolerant of
+    occluded corners (DetectChessboardCorners2.java:60 +
+    ChessboardCornerClusterFinder analog).
+
+    1. candidate edges = k nearest neighbors per corner,
+    2. keep edges whose segment runs along a square border
+       (``_edge_is_lattice``) and is locally shortest-scale,
+    3. BFS-assign integer lattice coordinates, each corner propagating
+       its own local axis frame (robust to strong perspective),
+    4. emit the [R, C, 2] grid (x, y) + [R, C] found-mask.
+
+    Returns (grid, mask) or None when no coherent lattice exists.
+    """
+    ys = np.asarray(ys, np.float64)
+    xs = np.asarray(xs, np.float64)
+    if valid is not None:
+        ys, xs = ys[np.asarray(valid)], xs[np.asarray(valid)]
+    pts = np.stack([xs, ys], 1)
+    n = len(pts)
+    if n < 4:
+        return None
+
+    # --- candidate edges (kNN, deduped)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    k = min(k_neighbors, n - 1)
+    nbr = np.argsort(d2, axis=1)[:, :k]
+    cand = set()
+    for i in range(n):
+        for j in nbr[i]:
+            cand.add((min(i, int(j)), max(i, int(j))))
+    cand = sorted(cand)
+    E = np.array(cand)                                  # [M, 2]
+
+    # note: skip-one links along a lattice line are rejected by the
+    # validator itself — the perpendicular black/white contrast FLIPS at
+    # the skipped corner (squares alternate), failing the same-sign test —
+    # so no additional length-ratio filter is needed (a ratio filter
+    # would wrongly drop genuinely foreshortened edges at oblique views)
+    ok = _edge_is_lattice(image, pts[E[:, 0]], pts[E[:, 1]])
+    E = E[ok]
+    if len(E) < 3:
+        return None
+
+    adj = [[] for _ in range(n)]
+    for i, j in E:
+        adj[i].append(int(j))
+        adj[j].append(int(i))
+
+    # --- BFS lattice-coordinate assignment with per-corner axis frames
+    # seed: corner with the most edges (interior corners have 4)
+    seed = int(np.argmax([len(a) for a in adj]))
+    if len(adj[seed]) < 2:
+        return None
+    # seed axes: shortest edge -> u; most-perpendicular edge -> v
+    dirs = [pts[j] - pts[seed] for j in adj[seed]]
+    order = np.argsort([np.linalg.norm(d) for d in dirs])
+    u0 = dirs[order[0]]
+    v0 = None
+    for o in order[1:]:
+        d = dirs[o]
+        cosang = abs(np.dot(u0, d)) / (np.linalg.norm(u0)
+                                       * np.linalg.norm(d) + 1e-9)
+        if cosang < 0.5:
+            v0 = d
+            break
+    if v0 is None:
+        return None
+    if u0[0] * v0[1] - u0[1] * v0[0] < 0:
+        u0, v0 = v0, u0                       # right-handed frame
+
+    coord = {seed: (0, 0)}
+    frame = {seed: (u0, v0)}
+    queue = [seed]
+    while queue:
+        i = queue.pop(0)
+        ui, vi = frame[i]
+        ci = np.array(coord[i])
+        for j in adj[i]:
+            if j in coord:
+                continue
+            d = pts[j] - pts[i]
+            # classify d against the local frame
+            su = np.dot(d, ui) / (np.dot(ui, ui) + 1e-12)
+            sv = np.dot(d, vi) / (np.dot(vi, vi) + 1e-12)
+            if abs(su) > 2 * abs(sv) and 0.5 < abs(su) < 1.6:
+                step = (int(np.sign(su)), 0)
+                new_u, new_v = d * np.sign(su), vi
+            elif abs(sv) > 2 * abs(su) and 0.5 < abs(sv) < 1.6:
+                step = (0, int(np.sign(sv)))
+                new_u, new_v = ui, d * np.sign(sv)
+            else:
+                continue
+            cj = (ci[0] + step[0], ci[1] + step[1])
+            coord[j] = cj
+            frame[j] = (new_u, new_v)
+            queue.append(j)
+
+    if len(coord) < 4:
+        return None
+    ij = np.array([coord[i] for i in sorted(coord)])
+    idxs = sorted(coord)
+    ij -= ij.min(axis=0)
+    C, R = ij[:, 0].max() + 1, ij[:, 1].max() + 1
+    grid = np.zeros((R, C, 2))
+    mask = np.zeros((R, C), bool)
+    for i, (cu, cv) in zip(idxs, ij):
+        if mask[cv, cu]:
+            return None                       # coordinate collision
+        grid[cv, cu] = pts[i]
+        mask[cv, cu] = True
+    # canonical orientation: origin corner = smallest x+y among the four
+    # grid corners (deterministic under the board's 180-deg ambiguity)
+    def score(g, m):
+        return g[0, 0] @ np.ones(2) if m[0, 0] else np.inf
+    best = (grid, mask)
+    best_s = np.inf
+    g, m = grid, mask
+    for _ in range(4):
+        g = np.transpose(g[:, ::-1], (1, 0, 2))      # rotate 90
+        m = m[:, ::-1].T
+        s = score(g, m)
+        if s < best_s:
+            best_s, best = s, (g.copy(), m.copy())
+    s = score(grid, mask)
+    if s < best_s:
+        best = (grid, mask)
+    return best
+
+
+def detect_chessboard_auto(image, max_corners: int = 300):
+    """Detect a chessboard of UNKNOWN size with possible occlusion.
+
+    Returns (grid [R, C, 2] of (x, y), mask [R, C] bool) or None.
+    """
+    ys, xs, valid = detect_corners(image, max_corners)
+    pts_y, pts_x = ys[valid], xs[valid]
+    if len(pts_y) < 4:
+        return None
+    ok = validate_xcorners(image, pts_y, pts_x)
+    if ok.sum() >= 4:
+        pts_y, pts_x = pts_y[ok], pts_x[ok]
+    return assemble_grid_connectivity(image, pts_y, pts_x)
+
+
 def detect_chessboard(image, rows: int, cols: int, max_corners: int = 300):
     """Full pipeline: x-corners -> subpixel -> ring validation -> grid
     (CalibrationDetectorChessboard.process).  rows/cols = INNER corner
