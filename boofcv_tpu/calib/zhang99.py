@@ -30,6 +30,7 @@ class CalibrationResult:
     rotations: np.ndarray         # [V,3,3] world(target)->camera
     translations: np.ndarray      # [V,3]
     reprojection_rmse: float
+    mirror_offset: float = 0.0    # universal-omni xi (0 for Brown/pinhole)
 
 
 def homographies_per_view(world_xy, obs):
@@ -218,6 +219,127 @@ def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
     rmse = float(np.sqrt(np.mean(np.sum((proj - obs) ** 2, axis=-1))))
     return CalibrationResult(K, (float(k1), float(k2)),
                              np.stack(Rs_out), np.stack(ts_out), rmse)
+
+
+def _project_all_omni(params, world_xy, n_views):
+    """Universal-omni projection of every target point in every view
+    (Zhang99CameraUniversalOmni.java:39's camera model: ray -> unit
+    sphere -> +xi along z -> Brown distortion -> pinhole).
+
+    params: [8 + 6V] = (fx, fy, skew, cx, cy, k1, k2, xi, per-view se3).
+    Returns [V, N, 2].
+    """
+    fx, fy, skew, cx, cy, k1, k2, xi = params[:8]
+    w3 = jnp.concatenate(
+        [world_xy, jnp.zeros((world_xy.shape[0], 1), world_xy.dtype)], 1)
+
+    def one_view(p6):
+        R, t = se3.exp_se3(p6)
+        Xc = w3 @ R.T + t
+        n = jnp.sqrt(jnp.sum(Xc * Xc, axis=1, keepdims=True))
+        n = jnp.where(n < 1e-12, 1.0, n)
+        s = Xc / n
+        sz = s[:, 2:] + xi
+        sz = jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
+        xn = s[:, :2] / sz
+        r2 = jnp.sum(xn ** 2, axis=1, keepdims=True)
+        d = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = xn * d
+        u = fx * xd[:, 0] + skew * xd[:, 1] + cx
+        v = fy * xd[:, 1] + cy
+        return jnp.stack([u, v], axis=1)
+
+    p6s = params[8:].reshape(n_views, 6)
+    return jax.vmap(one_view)(p6s)
+
+
+def calibrate_mono_omni(world_xy, obs, iterations: int = 40,
+                        zero_skew: bool = True,
+                        mirror_inits=(0.0, 0.5, 1.0, 1.5)):
+    """Zhang99 with the universal-omni (fisheye) camera
+    (Zhang99CameraUniversalOmni.java:39 analog).
+
+    Same pipeline as the Brown path, but the nonlinear stage optimizes
+    the unified-camera mirror offset xi as well.  The linear homography
+    init is biased under strong fisheye distortion, so the mirror offset
+    is seeded by guess-and-check over ``mirror_inits`` (the reference's
+    own self-calibration uses the same guess-and-check idiom) and the
+    best-converged solution wins.
+    """
+    world_xy = np.asarray(world_xy, np.float64)
+    obs = np.asarray(obs, np.float64)
+    V = obs.shape[0]
+
+    Hs = np.asarray(homographies_per_view(world_xy, obs))
+    K0 = k_from_homographies(Hs)
+    if zero_skew:
+        K0[0, 1] = 0.0
+    Rs, ts = [], []
+    for v in range(V):
+        R, t = extrinsics_from_homography(Hs[v], K0)
+        Rs.append(R)
+        ts.append(t)
+    xi0 = []
+    for v in range(V):
+        w = np.asarray(se3.log_so3(jnp.asarray(Rs[v])))
+        xi0.append(np.concatenate([w, ts[v]]))
+    wj = jnp.asarray(world_xy)
+    obsj = jnp.asarray(obs)
+
+    def refine(params0):
+        def residual(p):
+            return (_project_all_omni(p, wj, V) - obsj).ravel()
+
+        def gn_step(carry, _):
+            p, lam = carry
+            r = residual(p)
+            J = jax.jacfwd(residual)(p)
+            H = J.T @ J
+            g = J.T @ r
+            n = H.shape[0]
+            from boofcv_tpu.geo.smalllinalg import solve_spd
+            step = -solve_spd(H + lam * jnp.eye(n, dtype=H.dtype), g)
+            if zero_skew:
+                step = step.at[2].set(0.0)
+            p_new = p + step
+            c0 = jnp.sum(r * r)
+            c1 = jnp.sum(residual(p_new) ** 2)
+            good = jnp.isfinite(c1) & (c1 < c0)
+            p = jnp.where(good, p_new, p)
+            lam = jnp.clip(jnp.where(good, lam * 0.3, lam * 10.0),
+                           1e-10, 1e6)
+            return (p, lam), jnp.where(good, c1, c0)
+
+        (p, _), costs = jax.lax.scan(
+            gn_step, (params0, jnp.float64(1e-3)), None, length=iterations)
+        return p, jnp.sum(residual(p) ** 2)
+
+    best_p, best_c = None, np.inf
+    for mi in mirror_inits:
+        # larger xi widens the image of a given ray: rescale the focal
+        # guess accordingly so the init stays in the basin
+        params0 = jnp.asarray(np.concatenate(
+            [[K0[0, 0] * (1.0 + mi), K0[1, 1] * (1.0 + mi), K0[0, 1],
+              K0[0, 2], K0[1, 2], 0.0, 0.0, mi],
+             np.concatenate(xi0)]))
+        p, c = refine(params0)
+        c = float(c)
+        if np.isfinite(c) and c < best_c:
+            best_p, best_c = np.asarray(p), c
+
+    p = best_p
+    fx, fy, skew, cx, cy, k1, k2, mirror = p[:8]
+    K = np.array([[fx, skew, cx], [0, fy, cy], [0, 0, 1.0]])
+    Rs_out, ts_out = [], []
+    for v in range(V):
+        R, t = se3.exp_se3(jnp.asarray(p[8 + 6 * v: 14 + 6 * v]))
+        Rs_out.append(np.asarray(R))
+        ts_out.append(np.asarray(t))
+    proj = np.asarray(_project_all_omni(jnp.asarray(p), wj, V))
+    rmse = float(np.sqrt(np.mean(np.sum((proj - obs) ** 2, axis=-1))))
+    return CalibrationResult(K, (float(k1), float(k2)),
+                             np.stack(Rs_out), np.stack(ts_out), rmse,
+                             mirror_offset=float(mirror))
 
 
 def calibrate_stereo_planar(world_xy, obs_left, obs_right,

@@ -152,3 +152,57 @@ def test_calibration_from_rendered_images_end_to_end():
     assert abs(Kf[1, 1] - f) / f < 0.01
     assert abs(Kf[0, 2] - W / 2) < 4.0
     assert abs(Kf[1, 2] - H / 2) < 4.0
+
+
+def test_zhang99_omni_recovers_fisheye():
+    """Zhang99CameraUniversalOmni analog: synthetic fisheye observations
+    of a planar grid must recover K, xi, and radial terms."""
+    from boofcv_tpu.calib import zhang99
+    from boofcv_tpu.geo import cameras, se3
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    cols, rows, sq = 9, 8, 0.07
+    xs, ys = np.meshgrid(np.arange(cols) * sq, np.arange(rows) * sq)
+    world_xy = np.stack([xs.ravel(), ys.ravel()], 1)
+    world_xy -= world_xy.mean(0)
+    cam = cameras.CameraUniversalOmni(
+        fx=260.0, fy=255.0, cx=160.0, cy=120.0, width=320, height=240,
+        radial=(0.05, -0.01), mirror_offset=0.9)
+    w3 = np.concatenate([world_xy, np.zeros((len(world_xy), 1))], 1)
+    obs = []
+    views = [((-0.25, 0.1, 0.05), (0.02, -0.01, 0.42)),
+             ((0.3, 0.15, -0.04), (-0.03, 0.02, 0.38)),
+             ((0.05, -0.35, 0.1), (0.01, 0.04, 0.45)),
+             ((0.2, 0.3, 0.2), (-0.02, -0.03, 0.36)),
+             ((-0.15, -0.2, -0.15), (0.03, 0.01, 0.40))]
+    for w, t in views:
+        R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        Xc = w3 @ R.T + np.asarray(t)
+        px, py = cameras.omni_project(cam, jnp.asarray(Xc))
+        obs.append(np.stack([np.asarray(px), np.asarray(py)], 1))
+    obs = np.stack(obs) + rng.normal(0, 0.05, (len(views),
+                                               len(world_xy), 2))
+    res = zhang99.calibrate_mono_omni(world_xy, obs)
+    assert res.reprojection_rmse < 0.15, res.reprojection_rmse
+    # The UCM has a (f, xi, k1, k2) near-ambiguity: different parameter
+    # tuples describe the same pixel<->ray mapping at moderate FOV.  The
+    # observable invariant f/(1+xi) must match, and the calibrated
+    # camera must reproduce the GT camera's ray directions.
+    inv_gt = 260.0 / (1.0 + 0.9)
+    inv_est = res.K[0, 0] / (1.0 + res.mirror_offset)
+    assert abs(inv_est - inv_gt) < 0.01 * inv_gt, (inv_est, inv_gt)
+    est_cam = cameras.CameraUniversalOmni(
+        fx=float(res.K[0, 0]), fy=float(res.K[1, 1]),
+        cx=float(res.K[0, 2]), cy=float(res.K[1, 2]),
+        width=320, height=240, radial=res.radial,
+        mirror_offset=res.mirror_offset)
+    gx, gy = np.meshgrid(np.linspace(60, 280, 9), np.linspace(40, 200, 7))
+    r_gt = np.asarray(cameras.omni_pixel_to_unit(
+        cam, jnp.asarray(gx.ravel()), jnp.asarray(gy.ravel())))
+    r_est = np.asarray(cameras.omni_pixel_to_unit(
+        est_cam, jnp.asarray(gx.ravel()), jnp.asarray(gy.ravel())))
+    cosang = np.clip(np.sum(r_gt * r_est, 1), -1, 1)
+    max_deg = np.degrees(np.arccos(cosang)).max()
+    assert max_deg < 0.2, max_deg
