@@ -38,9 +38,24 @@ def enable_compilation_cache(path: str | None = None) -> None:
     if path is None:
         path = env or os.path.expanduser("~/.cache/boofcv_tpu_xla")
     try:
+        # partition the cache by machine: AOT CPU executables compiled on
+        # a host with different CPU features SIGILL-risk on load (the
+        # loader warns "+prefer-no-scatter not supported on the host")
+        import hashlib
+        import platform
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = [ln for ln in f if ln.startswith("flags")][:1]
+        except OSError:
+            flags = []
+        tag = hashlib.sha256(
+            (platform.machine() + jax.__version__ + "".join(flags))
+            .encode()).hexdigest()[:12]
+        path = os.path.join(path, tag)
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache everything — tests compile hundreds of small programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         # cache even when only one process compiles (default excludes some)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _CACHE_ENABLED = True

@@ -66,7 +66,7 @@ def main(argv=None) -> int:
 
     res = robust.ransac_fundamental(jax.random.PRNGKey(0),
                                     jnp.asarray(p1), jnp.asarray(p2),
-                                    num_hypotheses=512,
+                                    num_hypotheses=256,
                                     inlier_threshold_px=1.0)
     F = np.asarray(res.model[0])
     inl = np.asarray(res.inliers)

@@ -262,8 +262,10 @@ def _sparse_costs_ssd(left, right, ys, xs, cfg):
     convolution (per-track template x full right-image rows) — the
     gather-free MXU formulation: SSD = |L|^2 + |R_win|^2 - 2 <L, R_win>,
     where <L, R_win> over every window position is a correlation.
-    ~20x faster than the scattered-gather SAD path on TPU (the VO spawn
-    stage's former bottleneck)."""
+
+    Measured r03 on TPU v5e: the grouped conv (feature_group_count=N,
+    HIGHEST precision) runs ~15 ms for N=512/D=96 — SLOWER than both SAD
+    paths there; kept as the semantic SSD option, not a fast path."""
     h, w = left.shape
     rx, ry = cfg.radius_x, cfg.radius_y
     n = ys.shape[0]
@@ -318,6 +320,13 @@ def sparse_block_match(left: jnp.ndarray, right: jnp.ndarray,
 
     if cfg.error == "ssd":
         costs = _sparse_costs_ssd(left, right, ys, xs, cfg)
+    elif cfg.error == "sad_xla":
+        # flat-gather SAD, no Pallas: measured on-chip, the Pallas
+        # window-gather kernel stalls ~20 ms when its position operands
+        # transitively depend on convolution outputs in the same program
+        # (VO spawn: shi-tomasi -> top_k -> gather); the XLA path costs
+        # ~4 ms there.  Same scores as "sad" bit-for-bit.
+        costs = _sparse_costs_sad_xla(left, right, ys, xs, cfg)
     else:
         costs = _sparse_costs_sad(left, right, ys, xs, cfg)
     best = jnp.argmin(costs, axis=1)

@@ -113,10 +113,14 @@ def _spawn(state: StereoVoState, pyramid, grads, left, right,
     cand_ok &= jnp.min(d2, axis=1) > min_r
 
     # stereo depth at candidates
+    # "sad_xla": candidate positions come from the detector (conv ->
+    # top_k) and the Pallas window-gather kernel stalls ~20 ms/frame when
+    # its scalar operands depend on conv outputs (measured r03); the XLA
+    # flat-gather scores identically and costs ~4 ms here
     dcfg = disp_mod.DisparityConfig(
         min_disparity=cfg.min_disparity, max_disparity=cfg.max_disparity,
         radius_x=cfg.disparity_radius, radius_y=cfg.disparity_radius,
-        texture_threshold=0.1)
+        texture_threshold=0.1, error="sad_xla")
     disp, dvalid = disp_mod.sparse_block_match(
         left, right, cand_y.astype(jnp.int32), cand_x.astype(jnp.int32), dcfg)
     cand_ok &= dvalid & (disp > 0.5)

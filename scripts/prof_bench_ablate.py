@@ -21,11 +21,14 @@ baseline = 0.4
 rng = np.random.default_rng(0)
 n_frames = 41
 poses = []
-for i in range(n_frames):
-    R = np.asarray(se3.exp_so3(jnp.asarray([0.0, 0.002 * i, 0.0])))
-    c = np.array([0.01 * i, 0.0, 0.05 * i])
-    poses.append((jnp.asarray(R), jnp.asarray(-R @ c)))
 cpu = jax.devices("cpu")[0]
+for i in range(n_frames):
+    a = 0.002 * i
+    R = np.array([[np.cos(a), 0.0, np.sin(a)], [0.0, 1.0, 0.0],
+                  [-np.sin(a), 0.0, np.cos(a)]])
+    c = np.array([0.01 * i, 0.0, 0.05 * i])
+    with jax.default_device(cpu):
+        poses.append((jnp.asarray(R), jnp.asarray(-R @ c)))
 with jax.default_device(cpu):
     frames = simulate.render_stereo_sequence(
         rng, K, baseline, poses, H, W, plane_origin=(0.0, 0.0, 8.0),

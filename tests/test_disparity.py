@@ -199,3 +199,35 @@ def test_mi_cost_table_prefers_true_matches():
     true_cost = T[lq[:, d_true:], rq[:, :-d_true]].mean()
     rand_cost = T[lq[:, d_true:], rq[:, ::-1][:, :-d_true]].mean()
     assert true_cost < rand_cost - 0.1
+
+
+def test_sparse_scorer_equivalence():
+    """One semantics, three speeds (r02 verdict): the Pallas SAD and the
+    XLA flat-gather SAD must agree bit-for-bit; SSD must pick the same
+    winner wherever a clean match exists (different metric, same optimum
+    on noise-free data)."""
+    from boofcv_tpu.feature import disparity as dm
+    rng = np.random.default_rng(8)
+    h, w = 96, 160
+    d_true = 11
+    right = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    left = np.roll(right, d_true, axis=1)
+    n = 64
+    ys = rng.integers(8, h - 8, n).astype(np.int32)
+    xs = rng.integers(40, w - 8, n).astype(np.int32)
+    base = dm.DisparityConfig(min_disparity=0, max_disparity=32,
+                              radius_x=3, radius_y=3,
+                              texture_threshold=0.1)
+    out = {}
+    for err in ("sad", "sad_xla", "ssd"):
+        d, v = dm.sparse_block_match(jnp.asarray(left), jnp.asarray(right),
+                                     jnp.asarray(ys), jnp.asarray(xs),
+                                     base._replace(error=err))
+        out[err] = (np.asarray(d), np.asarray(v))
+    # SAD implementations: identical scores => identical output
+    np.testing.assert_array_equal(out["sad"][0], out["sad_xla"][0])
+    np.testing.assert_array_equal(out["sad"][1], out["sad_xla"][1])
+    # all three find the true disparity where they report valid
+    for err, (d, v) in out.items():
+        assert v.sum() > 0.8 * n, (err, v.sum())
+        assert np.allclose(d[v], d_true, atol=0.51), (err, d[v])
