@@ -134,3 +134,96 @@ def associate_mutual_2d(scores: jnp.ndarray, xy_a: jnp.ndarray,
     gated = jnp.where(d2 <= jnp.float32(max_distance) ** 2,
                       scores.astype(jnp.float32), big)
     return associate_mutual(gated, valid_a, valid_b, max_error=max_error)
+
+
+def associate_mutual_tiled(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                           tile: int = 2048,
+                           valid_a: jnp.ndarray | None = None,
+                           valid_b: jnp.ndarray | None = None,
+                           max_error: float = jnp.inf) -> Matches:
+    """Mutual-NN association WITHOUT materializing the [Na, Nb] score
+    matrix — association at scale (AssociateNearestNeighbor's role;
+    the reference reaches for KD-trees, the TPU answer is a streamed
+    matmul).
+
+    The destination set is processed in ``tile``-column blocks under
+    ``lax.scan``: each step computes one [Na, tile] Euclidean block on
+    the MXU and folds it into running row/column argmins.  Peak memory is
+    O(Na * tile) instead of O(Na * Nb) — 100k x 100k features run in
+    ~100 MB-scale tiles instead of a 40 GB matrix.  Scores are squared
+    Euclidean (the dominant descriptor metric); results are identical to
+    ``associate_mutual(score_euclidean_sq(a, b))``.
+    """
+    na, d = desc_a.shape
+    nb = desc_b.shape[0]
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    a = desc_a.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=1)
+    pad = (-nb) % tile
+    b = jnp.concatenate(
+        [desc_b.astype(jnp.float32),
+         jnp.zeros((pad, d), jnp.float32)]) if pad else \
+        desc_b.astype(jnp.float32)
+    vb = jnp.ones((nb,), bool) if valid_b is None else valid_b
+    vb = jnp.concatenate([vb, jnp.zeros((pad,), bool)]) if pad else vb
+    n_tiles = b.shape[0] // tile
+    b_tiles = b.reshape(n_tiles, tile, d)
+    vb_tiles = vb.reshape(n_tiles, tile)
+
+    va = jnp.ones((na,), bool) if valid_a is None else valid_a
+
+    def step(carry, inp):
+        row_min, best_j = carry
+        t, (bt, vbt) = inp
+        s = (a2[:, None] + jnp.sum(bt * bt, axis=1)[None, :]
+             - 2.0 * (a @ bt.T))                     # [Na, tile]
+        s = jnp.maximum(s, 0.0)
+        s = jnp.where(va[:, None] & vbt[None, :], s, big)
+        # row (a-side) running min
+        tmin = jnp.min(s, axis=1)
+        targ = (jnp.argmin(s, axis=1) + t * tile).astype(jnp.int32)
+        upd = tmin < row_min
+        row_min = jnp.where(upd, tmin, row_min)
+        best_j = jnp.where(upd, targ, best_j)
+        # column (b-side) min within this tile is exact already
+        col_min = jnp.min(s, axis=0)
+        col_arg = jnp.argmin(s, axis=0).astype(jnp.int32)
+        return (row_min, best_j), (col_min, col_arg)
+
+    (row_min, best_j), (col_min_t, col_arg_t) = lax.scan(
+        step, (jnp.full((na,), big), jnp.zeros((na,), jnp.int32)),
+        (jnp.arange(n_tiles), (b_tiles, vb_tiles)))
+    best_i = col_arg_t.reshape(-1)[:nb]              # [Nb]
+    mutual = best_i[best_j] == jnp.arange(na)
+    ok = mutual & (row_min <= max_error) & (row_min < big) & va
+    return Matches(jnp.arange(na, dtype=jnp.int32), best_j.astype(jnp.int32),
+                   row_min, ok)
+
+
+def associate_three_by_pairs(desc1: jnp.ndarray, desc2: jnp.ndarray,
+                             desc3: jnp.ndarray, score=score_euclidean_sq,
+                             max_error: float = jnp.inf,
+                             valid1=None, valid2=None, valid3=None):
+    """Three-view association by composing pairwise matches
+    (AssociateThreeByPairs.java:38 analog).
+
+    Associates 1<->2 and 2<->3 (mutual-NN), composes i -> j -> k, then
+    verifies each surviving triple with a direct 1<->3 association —
+    exactly the reference's structure (associate 1-2, match survivors
+    against 3, sanity-check the closure).  Returns
+    (idx1, idx2, idx3, valid) int32 arrays of capacity N1.
+    """
+    m12 = associate_mutual(score(desc1, desc2), valid1, valid2,
+                           max_error=max_error)
+    m23 = associate_mutual(score(desc2, desc3), valid2, valid3,
+                           max_error=max_error)
+    m13 = associate_mutual(score(desc1, desc3), valid1, valid3,
+                           max_error=max_error)
+    j = m12.dst                                     # [N1] 1 -> 2
+    # compose with 2 -> 3 (gather m23 rows at j)
+    k = m23.dst[j]                                  # [N1] 1 -> 3 via 2
+    chain_ok = m12.valid & m23.valid[j]
+    # closure: direct 1 -> 3 must agree
+    closure = m13.valid & (m13.dst == k)
+    valid = chain_ok & closure
+    return (jnp.arange(desc1.shape[0], dtype=jnp.int32), j, k, valid)

@@ -138,3 +138,39 @@ def estimate_metric_scene(p1, p2, p3, image_shape, key=None,
     return ThreeViewResult(K, np.asarray(prob_opt.R),
                            np.asarray(prob_opt.t),
                            np.asarray(prob_opt.points), inl, rmse)
+
+
+def estimate_from_images(img1, img2, img3, key=None, max_features: int = 300,
+                         detect=None, max_assoc_error: float = 0.25,
+                         **kwargs) -> ThreeViewResult:
+    """End-to-end three-view pipeline from RAW images:
+    detect/describe -> AssociateThreeByPairs -> trifocal RANSAC ->
+    self-calibration -> metric BA (the reference example's flow,
+    ExampleTrifocalStereoUncalibrated + ThreeViewEstimateMetricScene).
+
+    ``detect``: optional override returning
+    sfm.reconstruction.ImageFeatures (tests use synthetic detections);
+    default is SURF detect/describe.  Extra kwargs reach
+    :func:`estimate_metric_scene`.
+    """
+    from boofcv_tpu.feature import associate
+    from boofcv_tpu.sfm import reconstruction
+
+    detect = detect or (lambda im: reconstruction.detect_describe(
+        im, max_features))
+    f1, f2, f3 = detect(img1), detect(img2), detect(img3)
+    i1, i2, i3, valid = associate.associate_three_by_pairs(
+        jnp.asarray(f1.desc), jnp.asarray(f2.desc), jnp.asarray(f3.desc),
+        max_error=max_assoc_error,
+        valid1=jnp.asarray(f1.valid), valid2=jnp.asarray(f2.valid),
+        valid3=jnp.asarray(f3.valid))
+    v = np.asarray(valid)
+    i1, i2, i3 = np.asarray(i1)[v], np.asarray(i2)[v], np.asarray(i3)[v]
+    if v.sum() < 12:
+        raise ValueError(f"only {int(v.sum())} associated triples")
+    p1 = np.stack([np.asarray(f1.xs)[i1], np.asarray(f1.ys)[i1]], 1)
+    p2 = np.stack([np.asarray(f2.xs)[i2], np.asarray(f2.ys)[i2]], 1)
+    p3 = np.stack([np.asarray(f3.xs)[i3], np.asarray(f3.ys)[i3]], 1)
+    h = img1.shape[0] if hasattr(img1, "shape") else None
+    w = img1.shape[1] if hasattr(img1, "shape") else None
+    return estimate_metric_scene(p1, p2, p3, (h, w), key=key, **kwargs)

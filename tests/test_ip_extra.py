@@ -213,3 +213,43 @@ def test_weight_functions():
     np.testing.assert_allclose(d, [1.0, np.exp(-0.5)], atol=1e-6)
     du = np.asarray(weights.distance_uniform(jnp.asarray([1.0, 9.1]), 3.0))
     assert du[0] > 0 and du[1] == 0
+
+
+def test_associate_mutual_tiled_matches_dense():
+    from boofcv_tpu.feature import associate
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.normal(0, 1, (300, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 1, (451, 32)).astype(np.float32))
+    dense = associate.associate_mutual(associate.score_euclidean_sq(a, b),
+                                       max_error=20.0)
+    tiled = associate.associate_mutual_tiled(a, b, tile=128, max_error=20.0)
+    np.testing.assert_array_equal(np.asarray(dense.valid),
+                                  np.asarray(tiled.valid))
+    v = np.asarray(dense.valid)
+    np.testing.assert_array_equal(np.asarray(dense.dst)[v],
+                                  np.asarray(tiled.dst)[v])
+    np.testing.assert_allclose(np.asarray(dense.score)[v],
+                               np.asarray(tiled.score)[v], rtol=2e-4,
+                               atol=1e-4)
+
+
+def test_associate_three_by_pairs_composes():
+    from boofcv_tpu.feature import associate
+    rng = np.random.default_rng(10)
+    base = rng.normal(0, 1, (80, 32)).astype(np.float32)
+    # three views observe the same features, permuted, with noise; view 3
+    # misses some features entirely
+    p2 = rng.permutation(80)
+    p3 = rng.permutation(80)[:60]
+    d1 = jnp.asarray(base + rng.normal(0, 0.02, base.shape).astype(np.float32))
+    d2 = jnp.asarray(base[p2] + rng.normal(0, 0.02, (80, 32)).astype(np.float32))
+    d3 = jnp.asarray(base[p3] + rng.normal(0, 0.02, (60, 32)).astype(np.float32))
+    i1, i2, i3, v = associate.associate_three_by_pairs(d1, d2, d3,
+                                                      max_error=1.0)
+    v = np.asarray(v)
+    assert v.sum() >= 55          # nearly all co-visible features triple up
+    # every valid triple refers to the same underlying feature
+    inv2 = np.argsort(p2)
+    for a_, b_, c_ in zip(np.asarray(i1)[v], np.asarray(i2)[v],
+                          np.asarray(i3)[v]):
+        assert p2[b_] == a_ and p3[c_] == a_
