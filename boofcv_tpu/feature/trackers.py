@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from boofcv_tpu.ip.interpolate import bilinear
@@ -260,3 +261,122 @@ def sfot_track(prev_image, image, state: SfotState, grid: int = 9,
         width=jnp.where(good, state.width * scale, state.width),
         yaw=jnp.where(good, state.yaw + drot, state.yaw))
     return new, good
+
+
+# ---------------------------------------------------------------------------
+# Comaniciu 2003 kernel-based mean-shift (scale-adaptive)
+# ---------------------------------------------------------------------------
+
+class ComaniciuState(NamedTuple):
+    """TrackerMeanShiftComaniciu2003 analog state."""
+    q: jnp.ndarray       # [B] key-frame (target) histogram, normalized
+    cy: jnp.ndarray
+    cx: jnp.ndarray
+    ry: jnp.ndarray      # region half-height
+    rx: jnp.ndarray      # region half-width
+    ry0: float           # original half sizes (minimum-size clamp)
+    rx0: float
+    num_bins: int
+
+
+def _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n: int = 24):
+    """Epanechnikov-weighted intensity histogram of an axis-aligned
+    region sampled on a fixed n x n normalized grid (the reference's
+    LocalWeightedHistogramRotRect with rotation fixed to 0).
+
+    Returns (hist [B], bins [n, n], kern [n, n])."""
+    u = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, u, indexing="ij")
+    kern = jnp.maximum(0.0, 1.0 - (uu * uu + vv * vv))   # Epanechnikov
+    yy = cy + uu * ry
+    xx = cx + vv * rx
+    vals = bilinear(img, yy, xx)
+    bins = jnp.clip((vals / 256.0 * num_bins).astype(jnp.int32), 0,
+                    num_bins - 1)
+    hist = jnp.zeros((num_bins,), jnp.float32).at[bins.ravel()].add(
+        kern.ravel())
+    return hist / jnp.maximum(jnp.sum(hist), 1e-12), bins, kern
+
+
+def comaniciu_init(image, cy, cx, ry, rx, num_bins: int = 32
+                   ) -> ComaniciuState:
+    img = jnp.asarray(image, jnp.float32)
+    q, _, _ = _comaniciu_hist(img, jnp.float32(cy), jnp.float32(cx),
+                              jnp.float32(ry), jnp.float32(rx), num_bins)
+    return ComaniciuState(q, jnp.float32(cy), jnp.float32(cx),
+                          jnp.float32(ry), jnp.float32(rx),
+                          float(ry), float(rx), num_bins)
+
+
+def _comaniciu_shift(img, q, cy, cx, ry, rx, num_bins, iterations,
+                     min_change):
+    """Mean-shift to the Bhattacharyya-maximizing location at ONE scale.
+
+    Sample weights w_i = sqrt(q[b_i] / p[b_i]) (Comaniciu 2003 eq. 25);
+    with the Epanechnikov profile the shift is the w-weighted centroid.
+    Runs a fixed-iteration lax-friendly loop with convergence freezing.
+    Returns (cy, cx, bhattacharyya)."""
+    n = 24
+    u = jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, u, indexing="ij")
+    cy = jnp.asarray(cy, jnp.float32)
+    cx = jnp.asarray(cx, jnp.float32)
+    ry = jnp.asarray(ry, jnp.float32)
+    rx = jnp.asarray(rx, jnp.float32)
+
+    def body(_, st):
+        cy, cx, frozen = st
+        p, bins, kern = _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n)
+        w = jnp.sqrt(q[bins] / jnp.maximum(p[bins], 1e-12)) * kern
+        tot = jnp.sum(w) + 1e-12
+        ny = jnp.sum(w * (cy + uu * ry)) / tot
+        nx = jnp.sum(w * (cx + vv * rx)) / tot
+        small = jnp.hypot(ny - cy, nx - cx) < min_change
+        cy2 = jnp.where(frozen, cy, ny)
+        cx2 = jnp.where(frozen, cx, nx)
+        return cy2, cx2, frozen | small
+
+    cy, cx, _ = jax.lax.fori_loop(
+        0, iterations, body, (cy, cx, jnp.asarray(False)))
+    p, _, _ = _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n)
+    bh = jnp.sum(jnp.sqrt(p * q))
+    return cy, cx, bh
+
+
+def comaniciu_track(state: ComaniciuState, image, max_iterations: int = 30,
+                    min_change: float = 1e-2, scale_change: float = 0.1,
+                    gamma: float = 0.1, minimum_size_ratio: float = 0.25,
+                    update_histogram: bool = False) -> ComaniciuState:
+    """One frame of TrackerMeanShiftComaniciu2003.process.
+
+    Runs mean-shift at three scales (1 -/+ scale_change), keeps the
+    scale with the best Bhattacharyya similarity, blends it with the
+    previous scale by ``gamma`` (closer to 0 trusts the new estimate),
+    clamps to ``minimum_size_ratio`` of the original size, and
+    optionally refreshes the key histogram.
+    """
+    img = jnp.asarray(image, jnp.float32)
+    scales = (1.0 - scale_change, 1.0, 1.0 + scale_change) \
+        if scale_change > 0 else (1.0,)
+    results = []
+    for s in scales:
+        ry = state.ry * s
+        rx = state.rx * s
+        cy, cx, bh = _comaniciu_shift(img, state.q, state.cy, state.cx,
+                                      ry, rx, state.num_bins,
+                                      max_iterations, min_change)
+        results.append((float(bh), float(cy), float(cx), float(ry),
+                        float(rx)))
+    bh, cy, cx, ry, rx = max(results)
+    # scale damping + minimum-size clamp
+    ry = gamma * float(state.ry) + (1.0 - gamma) * ry
+    rx = gamma * float(state.rx) + (1.0 - gamma) * rx
+    ry = max(ry, minimum_size_ratio * state.ry0)
+    rx = max(rx, minimum_size_ratio * state.rx0)
+    q = state.q
+    if update_histogram:
+        q, _, _ = _comaniciu_hist(img, jnp.float32(cy), jnp.float32(cx),
+                                  jnp.float32(ry), jnp.float32(rx),
+                                  state.num_bins)
+    return state._replace(q=q, cy=jnp.float32(cy), cx=jnp.float32(cx),
+                          ry=jnp.float32(ry), rx=jnp.float32(rx))

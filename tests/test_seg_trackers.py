@@ -257,3 +257,28 @@ def test_fh04_native_matches_numpy():
         200.0, 5)
     assert cn == cp
     np.testing.assert_array_equal(ln, lp)
+
+
+def test_comaniciu_tracks_translation_and_scale():
+    """Comaniciu 2003 kernel tracker: follows a translating blob and
+    adapts the region size as the blob grows
+    (TrackerMeanShiftComaniciu2003 analog)."""
+    rng = np.random.default_rng(4)
+
+    def frame(cy, cx, r):
+        h, w = 120, 160
+        yy, xx = np.mgrid[0:h, 0:w]
+        bg = rng.normal(60, 2, (h, w))
+        d2 = ((yy - cy) / r) ** 2 + ((xx - cx) / r) ** 2
+        obj = np.where(d2 < 1.0, 170.0 + 20 * np.cos(3 * d2), 0.0)
+        return (bg + obj).astype(np.float32)
+
+    st = trackers.comaniciu_init(frame(40, 50, 12), 40, 50, 14, 14)
+    traj = [(44, 56, 13), (48, 62, 14), (52, 68, 16), (56, 74, 18)]
+    for cy, cx, r in traj:
+        st = trackers.comaniciu_track(st, frame(cy, cx, r),
+                                      update_histogram=True)
+        assert abs(float(st.cy) - cy) < 4, (float(st.cy), cy)
+        assert abs(float(st.cx) - cx) < 4, (float(st.cx), cx)
+    # region grew with the object (started at 14, object r now 18)
+    assert float(st.ry) > 14.5, float(st.ry)
