@@ -56,6 +56,15 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything — tests compile hundreds of small programs
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        try:
+            # don't embed XLA's internal AOT caches: their loader
+            # feature-checks spam "+prefer-no-scatter not supported"
+            # errors (XLA pseudo-features, not real CPU flags) on every
+            # deserialization
+            jax.config.update("jax_persistent_cache_enable_xla_caches",
+                              "none")
+        except Exception:
+            pass
         # cache even when only one process compiles (default excludes some)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _CACHE_ENABLED = True

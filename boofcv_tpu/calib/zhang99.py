@@ -93,7 +93,7 @@ def extrinsics_from_homography(H, K):
     return R, t
 
 
-def linear_radial_estimate(world_xy, obs, K, Rs, ts):
+def linear_radial_estimate(world_xy, obs, K, Rs, ts, obs_mask=None):
     """Least-squares (k1, k2) from residuals vs the pinhole projection
     (RadialDistortionEstimateLinear)."""
     K = np.asarray(K)
@@ -109,6 +109,8 @@ def linear_radial_estimate(world_xy, obs, K, Rs, ts):
         du = obs[v, :, 0] - u
         dv = obs[v, :, 1] - vv
         for i in range(world_xy.shape[0]):
+            if obs_mask is not None and not obs_mask[v, i]:
+                continue
             rows.append([(u[i] - cx) * r2[i], (u[i] - cx) * r2[i] ** 2])
             rhs.append(du[i])
             rows.append([(vv[i] - cy) * r2[i], (vv[i] - cy) * r2[i] ** 2])
@@ -145,17 +147,32 @@ def _project_all(params, world_xy, n_views):
 
 
 def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
-                          zero_skew: bool = True) -> CalibrationResult:
+                          zero_skew: bool = True,
+                          obs_mask=None) -> CalibrationResult:
     """Full Zhang99 pipeline (CalibrateMonoPlanar.process:160).
 
     world_xy: [N, 2] planar target coordinates; obs: [V, N, 2] detected
-    pixels per view (V >= 3).
+    pixels per view (V >= 3).  ``obs_mask``: optional [V, N] bool —
+    False marks corners NOT detected in that view (occlusion); masked
+    observations are excluded from every stage (the reference's detector
+    likewise feeds partial grids into calibration).
     """
     world_xy = np.asarray(world_xy, np.float64)
     obs = np.asarray(obs, np.float64)
     V = obs.shape[0]
+    if obs_mask is None:
+        obs_mask = np.ones(obs.shape[:2], bool)
+    else:
+        obs_mask = np.asarray(obs_mask, bool)
 
-    Hs = np.asarray(homographies_per_view(world_xy, obs))
+    if obs_mask.all():
+        Hs = np.asarray(homographies_per_view(world_xy, obs))
+    else:
+        Hs = np.stack([
+            np.asarray(epipolar.homography_dlt(
+                jnp.asarray(world_xy[obs_mask[v]][None]),
+                jnp.asarray(obs[v][obs_mask[v]][None])))[0]
+            for v in range(V)])
     K0 = k_from_homographies(Hs)
     if zero_skew:
         K0[0, 1] = 0.0
@@ -166,7 +183,8 @@ def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
         ts.append(t)
     Rs = np.stack(Rs)
     ts = np.stack(ts)
-    k1, k2 = linear_radial_estimate(world_xy, obs, K0, Rs, ts)
+    k1, k2 = linear_radial_estimate(world_xy, obs, K0, Rs, ts,
+                                    obs_mask=obs_mask)
 
     # pack parameters and refine with damped GN
     xi0 = []
@@ -182,9 +200,11 @@ def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
     wj = jnp.asarray(world_xy)
     obsj = jnp.asarray(obs)
 
+    maskj = jnp.asarray(obs_mask)[..., None]
+
     def residual(p):
         proj = _project_all(p, wj, V)
-        return (proj - obsj).ravel()
+        return jnp.where(maskj, proj - obsj, 0.0).ravel()
 
     def gn_step(carry, _):
         p, lam = carry
@@ -216,7 +236,8 @@ def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
         Rs_out.append(np.asarray(R))
         ts_out.append(np.asarray(t))
     proj = np.asarray(_project_all(jnp.asarray(p), wj, V))
-    rmse = float(np.sqrt(np.mean(np.sum((proj - obs) ** 2, axis=-1))))
+    err2 = np.sum((proj - obs) ** 2, axis=-1)
+    rmse = float(np.sqrt(np.mean(err2[obs_mask])))
     return CalibrationResult(K, (float(k1), float(k2)),
                              np.stack(Rs_out), np.stack(ts_out), rmse)
 

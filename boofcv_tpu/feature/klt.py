@@ -312,7 +312,13 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
     cx = xs / scales[-1]
     for lvl in range(num_levels - 1, -1, -1):
         s = scales[lvl]
-        if use_pallas is None and cfg.method == "windowed":
+        if use_pallas is None and cfg.method == "pallas_fused":
+            use_pallas_lvl = True       # fused all-iterations Pallas kernel
+        elif use_pallas is None and cfg.method == "windowed":
+            use_pallas_lvl = None
+        else:
+            use_pallas_lvl = use_pallas
+        if use_pallas_lvl is None:
             cy_l, cx_l, f = _track_level_windowed(
                 pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
                 templates.grad_y[lvl], cy, cx, cfg)
@@ -320,7 +326,7 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
             cy_l, cx_l, f = _track_level(
                 pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
                 templates.grad_y[lvl], cy, cx, cfg,
-                use_pallas=bool(use_pallas))
+                use_pallas=bool(use_pallas_lvl))
         # tracks that fault keep their pre-level position (will be dropped)
         good = f == TRACK_OK
         cy = jnp.where(good, cy_l, cy)

@@ -73,3 +73,6 @@ run_cfg("hyp128", stereo_vo.StereoVoConfig(**{**base, "ransac_hypotheses": 128})
 from boofcv_tpu.feature import klt as klt_mod
 run_cfg("klt_iter4", stereo_vo.StereoVoConfig(
     **base, klt=klt_mod.KltConfig(max_iterations=4)))
+
+run_cfg("klt_fused_pallas", stereo_vo.StereoVoConfig(
+    **base, klt=klt_mod.KltConfig(method="pallas_fused")))

@@ -113,3 +113,67 @@ def test_known_size_still_works():
     rows, cols = gt.shape[0], gt.shape[1]
     grid = chessboard.detect_chessboard(img, rows, cols)
     assert grid is not None
+
+
+def test_end_to_end_calibration_oblique_occluded():
+    """The r02 verdict bar: end-to-end Zhang99 from rendered images with a
+    >=45 deg tilted view and ~10% of corners occluded in one view —
+    detection via the connectivity assembly (unknown size), calibration
+    via the masked-observation path."""
+    from boofcv_tpu.calib import zhang99
+    from boofcv_tpu.geo import se3, epipolar
+
+    sx, sy = 7, 5                       # squares; inner corners 6 x 4
+    sq = 0.04
+    W, H = 320, 240
+    f = 300.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    board = np.array([[0, 0], [sx, 0], [sx, sy], [0, sy]], float) * 1.0
+    views = [((0.3, 0.05, 0.02), (-0.13, -0.09, 0.42)),
+             ((0.82, 0.1, 0.05), (-0.11, -0.11, 0.46)),   # ~48 deg tilt
+             ((-0.35, 0.3, -0.04), (-0.15, -0.07, 0.40)),
+             ((0.1, -0.75, 0.1), (-0.10, -0.10, 0.44)),
+             ((0.45, 0.45, 0.2), (-0.14, -0.08, 0.43))]
+    rng = np.random.default_rng(6)
+    world = np.stack(np.meshgrid(np.arange(1, sx), np.arange(1, sy)),
+                     -1).reshape(-1, 2).astype(float) * sq  # row-major (y,x)
+    n = world.shape[0]
+    obs = np.zeros((len(views), n, 2))
+    mask = np.zeros((len(views), n), bool)
+
+    for vi, (w, t) in enumerate(views):
+        R = np.asarray(se3.exp_so3(jnp.asarray(w)))
+        # board plane: X = (u*sq, v*sq, 0) -> homography K [r1*sq r2*sq t]
+        Hm = K @ np.stack([R[:, 0] * sq, R[:, 1] * sq, np.asarray(t)], 1)
+        img, gt = render_board(Hm, sx, sy, height=H, width=W)
+        if vi == 1:
+            cx_, cy_ = gt[1, 2]
+            yy, xx = np.mgrid[0:H, 0:W]
+            img = np.where((yy - cy_) ** 2 + (xx - cx_) ** 2 < 15 ** 2,
+                           128.0, img).astype(np.float32)
+        out = chessboard.detect_chessboard_auto(img)
+        assert out is not None, vi
+        grid, gmask = out
+        if grid.shape[:2] == (sx - 1, sy - 1):       # transposed: rotate 90
+            grid = np.transpose(grid[:, ::-1], (1, 0, 2))
+            gmask = gmask[:, ::-1].T
+        assert grid.shape[:2] == (sy - 1, sx - 1), grid.shape
+        # match found corners to GT lattice cells by nearest neighbor to
+        # resolve the board's 180-degree ambiguity for the test oracle
+        # (a rigid in-plane flip would calibrate identically)
+        flat = grid.reshape(-1, 2)
+        fm = gmask.ravel()
+        gtf = gt.reshape(-1, 2)
+        for k in np.nonzero(fm)[0]:
+            d = np.linalg.norm(gtf - flat[k], axis=1)
+            j = int(np.argmin(d))
+            if d[j] < 2.0:
+                obs[vi, j] = flat[k]
+                mask[vi, j] = True
+        assert mask[vi].sum() >= (0.85 if vi == 1 else 0.95) * n, \
+            (vi, mask[vi].sum())
+
+    res = zhang99.calibrate_mono_planar(world, obs, obs_mask=mask)
+    assert res.reprojection_rmse < 0.5, res.reprojection_rmse
+    assert abs(res.K[0, 0] - f) / f < 0.02, res.K
+    assert abs(res.K[1, 1] - f) / f < 0.02, res.K
