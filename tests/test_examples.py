@@ -22,6 +22,12 @@ EXAMPLES = [
     "detect_qr_code",
     "segment_superpixels",
     "stereo_uncalibrated",
+    "image_filtering",
+    "image_enhancement",
+    "line_detection",
+    "template_matching",
+    "classify_scene_knn",
+    "detect_calibration_points",
 ]
 
 
