@@ -129,6 +129,7 @@ class TldTracker:
             nx = self.rng.uniform(w / 2, W - w / 2)
             if abs(ny - cy) > h or abs(nx - cx) > w:
                 self._learn(image, ny, nx, h, w, False)
+        self._prev_image = img.copy()      # median-flow needs a key frame
 
     def _detect(self, image):
         """Sliding-window cascade: variance -> ferns -> NCC."""
@@ -167,14 +168,115 @@ class TldTracker:
                         best = (conf, cy, cx, hs, ws)
         return best
 
+    _prev_image: object = None
+
+    def _track(self, image):
+        """Median-flow region tracking with forward-backward validation
+        (TldRegionTracker / TldAdjustRegion analog): KLT a point grid
+        inside the box forward, track the results backward, keep the
+        half with the lowest FB error, move the box by the median
+        displacement and rescale by the median pairwise-distance ratio.
+        Returns (cy, cx, h, w, confidence) or None.
+        """
+        from boofcv_tpu.core.pyramid import PyramidConfig
+        from boofcv_tpu.feature import klt
+        from boofcv_tpu.ip import pyramid_ops
+
+        if self._prev_image is None:
+            return None
+        cy, cx, h, w = self.box
+        g = 5
+        gy = np.linspace(cy - 0.4 * h, cy + 0.4 * h, g)
+        gx = np.linspace(cx - 0.4 * w, cx + 0.4 * w, g)
+        yy, xx = np.meshgrid(gy, gx, indexing="ij")
+        ys0 = jnp.asarray(yy.ravel(), jnp.float32)
+        xs0 = jnp.asarray(xx.ravel(), jnp.float32)
+
+        scales = (1, 2)
+        pcfg = PyramidConfig(scales=scales)
+        kcfg = klt.KltConfig(template_radius=3, max_iterations=15)
+        prev = jnp.asarray(self._prev_image, jnp.float32)
+        cur = jnp.asarray(image, jnp.float32)
+        pyr_p = pyramid_ops.pyramid_average(prev, pcfg)
+        pyr_c = pyramid_ops.pyramid_average(cur, pcfg)
+        grads_p = pyramid_ops.gradient(pyr_p)
+        grads_c = pyramid_ops.gradient(pyr_c)
+
+        tmpl = klt.sample_templates(pyr_p, grads_p, ys0, xs0, scales, 3)
+        fy, fx, ff = klt.track_pyramid(pyr_c, tmpl, ys0, xs0, scales, kcfg)
+        tmpl_b = klt.sample_templates(pyr_c, grads_c, fy, fx, scales, 3)
+        by, bx, bf = klt.track_pyramid(pyr_p, tmpl_b, fy, fx, scales, kcfg)
+
+        ok = (np.asarray(ff) == klt.TRACK_OK) \
+            & (np.asarray(bf) == klt.TRACK_OK)
+        fb = np.hypot(np.asarray(by) - np.asarray(ys0),
+                      np.asarray(bx) - np.asarray(xs0))
+        if ok.sum() < 6:
+            return None
+        fb_ok = fb <= np.median(fb[ok])
+        keep = ok & fb_ok
+        if keep.sum() < 4:
+            return None
+        y0k, x0k = yy.ravel()[keep], xx.ravel()[keep]
+        y1k = np.asarray(fy)[keep]
+        x1k = np.asarray(fx)[keep]
+        dy = float(np.median(y1k - y0k))
+        dx = float(np.median(x1k - x0k))
+        # scale: median of pairwise-distance ratios (MedianFlow)
+        if keep.sum() >= 2:
+            d0 = np.hypot(y0k[:, None] - y0k[None, :],
+                          x0k[:, None] - x0k[None, :])
+            d1 = np.hypot(y1k[:, None] - y1k[None, :],
+                          x1k[:, None] - x1k[None, :])
+            iu = np.triu_indices(len(y0k), 1)
+            r0, r1 = d0[iu], d1[iu]
+            good = r0 > 2.0
+            s = float(np.median(r1[good] / r0[good])) if good.any() else 1.0
+            s = float(np.clip(s, 0.8, 1.25))
+        else:
+            s = 1.0
+        ncy, ncx = cy + dy, cx + dx
+        nh, nw = h * s, w * s
+        H, W = np.asarray(image).shape
+        if not (nh / 2 < ncy < H - nh / 2 and nw / 2 < ncx < W - nw / 2):
+            return None
+        conf = self._confidence(self._patch(image, ncy, ncx, nh, nw))
+        return ncy, ncx, nh, nw, conf
+
     def process(self, image):
-        """One frame: detect (cascade) + learn.  Returns (found, box)."""
+        """One frame of TldTracker.process: TRACK (median flow + FB) and
+        DETECT (variance -> fern -> NCC cascade) hypotheses are fused —
+        a strong detection away from a weak track reacquires the target —
+        then P/N learning updates the models.  Returns (found, box)."""
+        trk = self._track(image)
         det = self._detect(image)
-        if det is None:
+        cfg = self.cfg
+
+        chosen = None
+        if trk is not None:
+            ncy, ncx, nh, nw, conf_t = trk
+            chosen = (conf_t, ncy, ncx, nh, nw)
+        if det is not None:
+            conf_d, dcy, dcx, dh, dw = det
+            far = chosen is None or (
+                abs(dcy - chosen[1]) > 0.5 * chosen[3]
+                or abs(dcx - chosen[2]) > 0.5 * chosen[4])
+            if chosen is None or (far and conf_d > chosen[0] + 0.05) \
+                    or (not far and conf_d > chosen[0]):
+                chosen = (conf_d, dcy, dcx, dh, dw)
+
+        self._prev_image = np.asarray(image, np.float32)
+        if chosen is None:
             return False, self.box
-        conf, cy, cx, h, w = det
+        conf, cy, cx, h, w = chosen
         self.box = (float(cy), float(cx), float(h), float(w))
+        # P/N learning: positive at the fused box; negatives at windows
+        # the detector liked far from it (N-expert suppressing drift)
         self._learn(image, cy, cx, h, w, True)
+        if det is not None:
+            _, dcy, dcx, dh, dw = det
+            if abs(dcy - cy) > h or abs(dcx - cx) > w:
+                self._learn(image, dcy, dcx, dh, dw, False)
         return True, self.box
 
 

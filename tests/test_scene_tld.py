@@ -130,3 +130,21 @@ def test_profiling_utils():
         _ = np.zeros(10)
     rep = t.report()
     assert "a" in rep and rep["a"] >= 0.0
+
+
+def test_tld_median_flow_tracks_smooth_motion():
+    """The tracking component (median flow + FB validation) must follow
+    smooth motion even when the detector is disabled (its grid/scale
+    quantization would otherwise limit accuracy)."""
+    rng = np.random.default_rng(5)
+    t = tld.make_tracker()
+    f0 = _object_frame(rng, 40, 50)
+    t.initialize(f0, 40, 50, 24, 24)
+    # make the detection cascade abstain so only tracking can answer
+    t.cfg.ncc_confirm = 1.01
+    path = [(42, 53), (44, 56), (46, 59), (48, 62)]
+    for cy, cx in path:
+        ok, box = t.process(_object_frame(rng, cy, cx))
+        assert ok
+        assert abs(box[0] - cy) < 2.5 and abs(box[1] - cx) < 2.5, \
+            (box[:2], (cy, cx))
