@@ -348,6 +348,10 @@ def calibrate_mono_omni(world_xy, obs, iterations: int = 40,
         if np.isfinite(c) and c < best_c:
             best_p, best_c = np.asarray(p), c
 
+    if best_p is None:
+        raise ValueError(
+            "omni calibration failed: every mirror-offset seed diverged "
+            "(degenerate target geometry or non-finite observations)")
     p = best_p
     fx, fy, skew, cx, cy, k1, k2, mirror = p[:8]
     K = np.array([[fx, skew, cx], [0, fy, cy], [0, 0, 1.0]])

@@ -116,16 +116,20 @@ def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int,
     p = z
     rz = jnp.sum(r * z)
 
+    # dtype-aware guard: a 1e-300 literal underflows to 0 in f32 (the
+    # fast path), which would turn the guard into 0/0 = NaN
+    tiny = jnp.asarray(jnp.finfo(S_rows.dtype).tiny, S_rows.dtype)
+
     def body(_, st):
         x, r, p, rz = st
         Ap = matvec(p)
         pAp = jnp.sum(p * Ap)
-        alpha = rz / jnp.where(pAp <= 0, 1e-300, pAp)
+        alpha = rz / jnp.where(pAp <= 0, tiny, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z = precond(r)
         rz2 = jnp.sum(r * z)
-        beta = rz2 / jnp.where(rz == 0, 1e-300, rz)
+        beta = rz2 / jnp.where(rz == 0, tiny, rz)
         return x, r, z + beta * p, rz2
 
     x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
@@ -218,10 +222,11 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
                           fixed_views, model)
         Jv, Jp, r = ba._jacobians(local)
         # Jacobi scaling with the globally-psummed GN diagonal so every
-        # shard scales the view columns identically (ba._scale_jacobians)
+        # shard scales the view columns identically (ba._scale_jacobians);
+        # segment sum as one-hot matmul — TPU scatter-add is serialized
         D = Jv.shape[-1]
-        hvv_diag = jnp.zeros((V, D), Jv.dtype).at[obs_view.reshape(-1)].add(
-            jnp.sum(Jv * Jv, axis=2).reshape(-1, D))
+        O = jax.nn.one_hot(obs_view, V, dtype=Jv.dtype)      # [P, L, V]
+        hvv_diag = jnp.einsum("plv,pld->vd", O, jnp.sum(Jv * Jv, axis=2))
         hvv_diag = jax.lax.psum(hvv_diag, axes)
         Jv, Jp, s_v, s_p = ba._scale_jacobians(obs_view, Jv, Jp, V,
                                                hvv_diag=hvv_diag)
@@ -238,8 +243,11 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         dp = ba._back_substitute(obs_view, Hpp_inv, W, gp, dv)
         dv = dv / s_v
         dp = dp / s_p
-        # local cost contribution
-        c_local = 0.5 * jnp.sum(r * r)
+        # local cost contribution, accumulated in f64 so the LM
+        # accept/reject comparison against ba.cost (also f64) is not
+        # dominated by f32 summation noise near convergence
+        r64 = r.astype(jnp.float64)
+        c_local = 0.5 * jnp.sum(r64 * r64)
         c = jax.lax.psum(c_local, axes)
         return dv, dp, c
 

@@ -314,7 +314,9 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
         s = scales[lvl]
         if use_pallas is None and cfg.method == "pallas_fused":
             use_pallas_lvl = True       # fused all-iterations Pallas kernel
-        elif use_pallas is None and cfg.method == "windowed":
+        elif use_pallas is None and cfg.method == "gather":
+            use_pallas_lvl = False      # per-iteration flat-gather path
+        elif use_pallas is None:        # "windowed" (default)
             use_pallas_lvl = None
         else:
             use_pallas_lvl = use_pallas

@@ -171,6 +171,8 @@ def estimate_from_images(img1, img2, img3, key=None, max_features: int = 300,
     p1 = np.stack([np.asarray(f1.xs)[i1], np.asarray(f1.ys)[i1]], 1)
     p2 = np.stack([np.asarray(f2.xs)[i2], np.asarray(f2.ys)[i2]], 1)
     p3 = np.stack([np.asarray(f3.xs)[i3], np.asarray(f3.ys)[i3]], 1)
-    h = img1.shape[0] if hasattr(img1, "shape") else None
-    w = img1.shape[1] if hasattr(img1, "shape") else None
+    if not hasattr(img1, "shape") or len(img1.shape) < 2:
+        raise ValueError("img1 must be an [H, W] array (needed for the "
+                         "principal-point re-centering)")
+    h, w = img1.shape[0], img1.shape[1]
     return estimate_metric_scene(p1, p2, p3, (h, w), key=key, **kwargs)
