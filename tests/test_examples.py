@@ -28,6 +28,9 @@ EXAMPLES = [
     "template_matching",
     "classify_scene_knn",
     "detect_calibration_points",
+    "remove_lens_distortion",
+    "remove_perspective",
+    "video_stabilization",
 ]
 
 
