@@ -73,11 +73,18 @@ def _project(model: str, Xc, intr):
         r2 = jnp.sum(p * p, axis=-1)
         distort = 1.0 + k1 * r2 + k2 * r2 * r2
         return (f * distort)[..., None] * p
+    if model == "pinhole_f":
+        # +z-looking pinhole with a free focal length (principal point
+        # at origin): proj = f * X/z — the self-calibration refinement
+        # camera (three_view polishes the guess-and-check focal in BA)
+        z = Xc[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        return intr[..., 0:1] * Xc[..., :2] / zs[..., None]
     raise ValueError(f"unknown camera model {model!r}")
 
 
 def n_intr(model: str) -> int:
-    return {"normalized": 0, "snavely": 3}[model]
+    return {"normalized": 0, "snavely": 3, "pinhole_f": 1}[model]
 
 
 @partial(jax.jit, static_argnames=("model",))
@@ -151,6 +158,13 @@ def _proj_jacobian(model: str, Xc, intr):
         Ji = jnp.stack([s[..., None] * p,
                         (f * r2)[..., None] * p,
                         (f * r2 * r2)[..., None] * p], axis=-1)  # [..., 2, 3]
+        return A, Ji
+    if model == "pinhole_f":
+        f = intr[..., 0]
+        A = f[..., None, None] * jnp.stack([
+            jnp.stack([iz, zero, -x * iz * iz], axis=-1),
+            jnp.stack([zero, iz, -y * iz * iz], axis=-1)], axis=-2)
+        Ji = jnp.stack([x * iz, y * iz], axis=-1)[..., None]  # [..., 2, 1]
         return A, Ji
     raise ValueError(f"unknown camera model {model!r}")
 

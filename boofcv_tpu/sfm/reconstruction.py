@@ -267,5 +267,6 @@ def reconstruct_incremental(graph: PairwiseGraph, K, ba_iterations: int = 15,
                       np.asarray(out.t[vmap_idx[v]])) for v in views},
         "points": np.asarray(out.points),
         "problem": out,
+        "view_index": dict(vmap_idx),
         "ba_info": info,
     }

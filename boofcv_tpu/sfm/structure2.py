@@ -1,0 +1,219 @@
+"""Uncalibrated multi-view reconstruction (structure2).
+
+Reference analog: boofcv-sfm alg/sfm/structure2/ —
+GeneratePairwiseImageGraph.java:44 (pairwise graph with per-edge 3D-vs-
+homography model scores), ProjectiveInitializeAllCommon (seed selection
+from the most three-dimensional connected views), SceneWorkingGraph /
+DoStuffFromPairwiseGraph (metric elevation + growth).  The reference
+marks this pipeline WIP; here it is composed from the library's proven
+pieces:
+
+1. pairwise graph: mutual-NN matches per pair, robust F AND robust H;
+   the edge's "3D-ness" score = F-inliers / H-inliers (a mostly-planar
+   or pure-rotation pair scores ~1 and is a bad seed — exactly the
+   reference's is3D test),
+2. seed: the view triple connected by the two most-3D edges; metric
+   seed reconstruction + shared-K self-calibration via the trifocal
+   three-view pipeline (sfm/three_view.py),
+3. growth: remaining views are added by RANSAC-PnP against the metric
+   structure using the self-calibrated K; their matches triangulate new
+   points,
+4. final bundle adjustment over all views/points (normalized model,
+   fixed gauge on the seed pair).
+
+Unlike sfm/reconstruction.py (v1), NO camera intrinsics are supplied —
+K comes out of the self-calibration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from boofcv_tpu.feature import associate
+from boofcv_tpu.geo import ba, robust, triangulate
+from boofcv_tpu.sfm import reconstruction, three_view
+from boofcv_tpu.sfm.reconstruction import ImageFeatures
+
+
+@dataclass
+class PairwiseEdge2:
+    a: int
+    b: int
+    src: np.ndarray
+    dst: np.ndarray
+    f_inliers: np.ndarray      # bool over matches
+    score_3d: float            # f_inl / h_inl (GeneratePairwiseImageGraph)
+    F: np.ndarray = None       # [3, 3] fundamental matrix (pixels)
+
+
+@dataclass
+class PairwiseGraph2:
+    features: list
+    edges: dict = field(default_factory=dict)
+
+
+def generate_pairwise_graph(images, max_features: int = 300,
+                            detect=None, min_matches: int = 20,
+                            seed: int = 0) -> PairwiseGraph2:
+    """All-pairs matching with F-vs-H model scoring
+    (GeneratePairwiseImageGraph.process analog)."""
+    detect = detect or (lambda im: reconstruction.detect_describe(
+        im, max_features))
+    feats = [detect(im) for im in images]
+    g = PairwiseGraph2(feats)
+    key = jax.random.PRNGKey(seed)
+    n = len(images)
+    for a in range(n):
+        for b in range(a + 1, n):
+            src, dst = reconstruction.match_features(feats[a], feats[b])
+            if len(src) < min_matches:
+                continue
+            pa = np.stack([feats[a].xs[src], feats[a].ys[src]], 1)
+            pb = np.stack([feats[b].xs[dst], feats[b].ys[dst]], 1)
+            key, k1, k2 = jax.random.split(key, 3)
+            rf = robust.ransac_fundamental(k1, jnp.asarray(pa),
+                                           jnp.asarray(pb),
+                                           num_hypotheses=256,
+                                           inlier_threshold_px=2.0)
+            rh = robust.ransac_homography(k2, jnp.asarray(pa),
+                                          jnp.asarray(pb),
+                                          num_hypotheses=256,
+                                          inlier_threshold_px=2.0)
+            nf = int(rf.num_inliers)
+            nh = int(rh.num_inliers)
+            if nf < min_matches:
+                continue
+            g.edges[(a, b)] = PairwiseEdge2(
+                a, b, src, dst, np.asarray(rf.inliers),
+                nf / max(nh, 1), np.asarray(rf.model[0]))
+    return g
+
+
+def focal_from_fundamentals(g: PairwiseGraph2, width: int, height: int):
+    """Shared-focal self-calibration by Sturm's equal-singular-value
+    criterion: for the correct K, E = K^T F K has two equal non-zero
+    singular values.  Sweep focal candidates over every 3D edge and take
+    the inlier-weighted median of the per-edge minima — far more
+    noise-robust than the linear dual-quadratic solve.
+    """
+    cands = np.geomspace(0.25 * width, 5.0 * width, 120)
+    picks, weights = [], []
+    for e in g.edges.values():
+        if e.F is None or e.score_3d < 1.5:
+            continue
+        best = None
+        for f in cands:
+            K = np.array([[f, 0, (width - 1) / 2],
+                          [0, f, (height - 1) / 2], [0, 0, 1.0]])
+            E = K.T @ e.F @ K
+            sv = np.linalg.svd(E, compute_uv=False)
+            cost = (sv[0] - sv[1]) / max(sv[0] + sv[1], 1e-12)
+            if best is None or cost < best[0]:
+                best = (cost, f)
+        picks.append(best[1])
+        weights.append(int(e.f_inliers.sum()))
+    if not picks:
+        raise ValueError("no 3D edges for focal self-calibration")
+    order = np.argsort(picks)
+    cum = np.cumsum(np.asarray(weights)[order])
+    med = np.asarray(picks)[order][np.searchsorted(cum, cum[-1] / 2.0)]
+    return float(med)
+
+
+def _pick_seed_triple(g: PairwiseGraph2):
+    """Views (a, b, c) joined by the two most-3D edges through a common
+    view (ProjectiveInitializeAllCommon's seed heuristic)."""
+    best = None
+    edges = list(g.edges.values())
+    for i, e1 in enumerate(edges):
+        for e2 in edges[i + 1:]:
+            shared = {e1.a, e1.b} & {e2.a, e2.b}
+            if len(shared) != 1:
+                continue
+            score = min(e1.score_3d, e2.score_3d) \
+                * min(e1.f_inliers.sum(), e2.f_inliers.sum())
+            if best is None or score > best[0]:
+                views = sorted({e1.a, e1.b, e2.a, e2.b})
+                best = (score, tuple(views))
+    if best is None:
+        raise ValueError("no connected 3D view triple in the graph")
+    return best[1]
+
+
+def _triple_correspondences(g: PairwiseGraph2, va, vb, vc):
+    """Match-table join a<->b<->c (same role as AssociateThreeByPairs)."""
+    def edge(x, y):
+        if (x, y) in g.edges:
+            e = g.edges[(x, y)]
+            return dict(zip(e.src.tolist(), e.dst.tolist()))
+        e = g.edges[(y, x)]
+        return dict(zip(e.dst.tolist(), e.src.tolist()))
+
+    ab = edge(va, vb)
+    bc = edge(vb, vc)
+    triples = [(i, j, bc[j]) for i, j in ab.items() if j in bc]
+    return triples
+
+
+def reconstruct_uncalibrated(images, max_features: int = 300, detect=None,
+                             ba_iterations: int = 20, seed: int = 0):
+    """Full uncalibrated pipeline: pairwise graph with F/H model scores
+    -> shared focal by Sturm's equal-singular-value sweep over the 3D
+    edges -> calibrated incremental growth (sfm/reconstruction v1
+    machinery with the self-calibrated K) -> global bundle adjustment
+    with the focal as a free parameter.
+
+    Returns dict with "K", "poses" {view: (R, t)}, "points" [M, 3],
+    "graph", "ba_info".
+
+    Design note: the trifocal + linear dual-quadratic route
+    (three_view.estimate_metric_scene) is exact on clean data but
+    noise-fragile; the per-edge Sturm sweep scored by E's singular-value
+    ratio and aggregated by inlier-weighted median is far more robust
+    (matches the reference pairing its linear self-calib with
+    guess-and-check estimators), and the final free-focal bundle
+    polishes the estimate against every observation.
+    """
+    g = generate_pairwise_graph(images, max_features, detect, seed=seed)
+    if not g.edges:
+        raise ValueError("no connected 3D view pairs in the graph")
+    h, w = images[0].shape[:2]
+    f0 = focal_from_fundamentals(g, w, h)
+    K = np.array([[f0, 0.0, (w - 1) / 2.0],
+                  [0.0, f0, (h - 1) / 2.0], [0.0, 0.0, 1.0]])
+
+    # calibrated incremental growth with the self-calibrated K (reuses
+    # the proven v1 machinery on the SAME features)
+    feats = g.features
+    it = iter(feats)
+    g1 = reconstruction.build_pairwise_graph(
+        images, K, detect=lambda im: next(it))
+    scene = reconstruction.reconstruct_incremental(
+        g1, K, ba_iterations=ba_iterations, seed=seed + 1)
+
+    # global BA with FREE focal: polish f against every observation
+    prob = scene["problem"]          # normalized model, converged
+    obs_px = np.asarray(prob.obs_xy) * f0       # centered pixels
+    vlist = sorted(scene["poses"])
+    prob2 = ba.make_problem(
+        np.asarray(prob.R), np.asarray(prob.t), np.asarray(prob.points),
+        obs_px, np.asarray(prob.obs_view), np.asarray(prob.obs_valid),
+        intr=np.full((prob.R.shape[0], 1), f0), model="pinhole_f",
+        fixed_views=np.asarray(prob.fixed_views))
+    out, info = ba.optimize(prob2, iterations=ba_iterations)
+    f_ref = float(np.mean(np.asarray(out.intr)[:, 0]))
+    K = np.array([[f_ref, 0.0, (w - 1) / 2.0],
+                  [0.0, f_ref, (h - 1) / 2.0], [0.0, 0.0, 1.0]])
+    vmap_idx = scene["view_index"]
+    return {
+        "K": K,
+        "poses": {v: (np.asarray(out.R[vmap_idx[v]]),
+                      np.asarray(out.t[vmap_idx[v]])) for v in vlist},
+        "points": np.asarray(out.points),
+        "graph": g,
+        "ba_info": info,
+    }

@@ -87,11 +87,33 @@ def estimate_metric_scene(p1, p2, p3, image_shape, key=None,
     P1 = jnp.concatenate([jnp.eye(3, dtype=jnp.float64),
                           jnp.zeros((3, 1), jnp.float64)], axis=1)
 
-    # self-calibrate: shared K, principal point at origin
-    K, H = selfcalib.self_calibrate_dual_quadratic(
-        np.stack([np.asarray(P1), np.asarray(P2), np.asarray(P3)]))
-    K = np.asarray(K, np.float64)
-    H = np.asarray(H, np.float64)
+    # self-calibrate: shared K, principal point at origin.  The linear
+    # dual-quadratic solve is exact on clean data but collapses under
+    # sub-pixel observation noise (the DIAC drifts off the PSD cone) —
+    # the reference pairs it with SelfCalibrationGuessAndCheckFocus for
+    # exactly this reason, so fall back to the focus sweep whenever the
+    # linear result is unusable or implausible.
+    Ps = np.stack([np.asarray(P1), np.asarray(P2), np.asarray(P3)])
+    K = None
+    try:
+        K, H = selfcalib.self_calibrate_dual_quadratic(Ps)
+        K = np.asarray(K, np.float64)
+        H = np.asarray(H, np.float64)
+        f_lin = 0.5 * (K[0, 0] + K[1, 1])
+        if not np.isfinite(K).all() or not (0.2 * w < f_lin < 6.0 * w):
+            K = None
+    except Exception:
+        K = None
+    if K is None:
+        cands = np.geomspace(0.25 * w, 5.0 * w, 60)
+        f_best, H = selfcalib.guess_and_check_focus(
+            Ps, focal_candidates=cands)
+        # refine with a finer sweep around the coarse winner
+        lo, hi = f_best / 1.12, f_best * 1.12
+        f_best, H = selfcalib.guess_and_check_focus(
+            Ps, focal_candidates=np.linspace(lo, hi, 25))
+        K = np.diag([f_best, f_best, 1.0])
+        H = np.asarray(H, np.float64)
 
     # metric upgrade: P_m = P H = K [R | t]
     Kinv = np.linalg.inv(K)
@@ -124,17 +146,45 @@ def estimate_metric_scene(p1, p2, p3, image_shape, key=None,
         X = -X
         ts = -ts
 
-    # metric BA over the inlier triples
+    # metric BA over the inlier triples, with the focal length as a free
+    # parameter ("pinhole_f"): the self-calibrated f is only an initial
+    # guess (guess-and-check is coarse and the linear solve noise-fragile)
+    # and the bundle polishes it against the raw centered-pixel
+    # observations (centered = principal point already at the origin)
     n = X.shape[0]
-    prob = ba.make_problem(
-        R=Rs, t=ts, points=np.asarray(X),
-        obs_xy=np.asarray(obs.transpose(1, 0, 2)),
-        obs_view=np.tile(np.arange(3, dtype=np.int32), (n, 1)),
-        obs_valid=np.tile(inl[:, None], (1, 3)),
-        fixed_views=np.array([True, False, False]))
-    prob_opt, info = ba.optimize(prob, iterations=ba_iterations)
+    f0 = 0.5 * (K[0, 0] + K[1, 1])
+    obs_px = np.stack([np.asarray(q) for q in (q1, q2, q3)])   # [3, N, 2]
+    obs_n = obs.transpose(1, 0, 2)                             # init K's norm
+    best = None
+    for mult in (1.0, 0.7, 1.45):
+        f_i = f0 * mult
+        # re-derive structure consistent with this focal guess: rescale
+        # the normalized observations and re-triangulate
+        obs_i = np.asarray(obs_n) * (f0 / f_i)
+        X_i = np.asarray(triangulate.triangulate_nview_linear(
+            jnp.asarray(obs_i.transpose(1, 0, 2)), jnp.asarray(Rs),
+            jnp.asarray(ts))) if mult != 1.0 else np.asarray(X)
+        prob = ba.make_problem(
+            R=Rs, t=ts, points=X_i,
+            obs_xy=np.asarray(obs_px.transpose(1, 0, 2)),
+            obs_view=np.tile(np.arange(3, dtype=np.int32), (n, 1)),
+            obs_valid=np.tile(inl[:, None], (1, 3)),
+            intr=np.full((3, 1), f_i), model="pinhole_f",
+            fixed_views=np.array([True, False, False]))
+        prob_opt, info = ba.optimize(prob, iterations=ba_iterations)
+        c = float(info["final_cost"])
+        f_ref = float(np.mean(np.asarray(prob_opt.intr)[:, 0]))
+        # reject degenerate collapses (focal driven to ~0 or exploding)
+        if not np.isfinite(c) or not (0.05 * w < f_ref < 20.0 * w):
+            continue
+        if best is None or c < best[0]:
+            best = (c, prob_opt, info, f_ref)
+    if best is None:
+        raise ValueError("three-view metric BA failed for every focal seed")
+    _, prob_opt, info, f_ref = best
+    K = np.diag([f_ref, f_ref, 1.0])
     rmse = float(np.sqrt(2.0 * float(info["final_cost"])
-                         / max(int(inl.sum()) * 3, 1)))
+                         / max(int(inl.sum()) * 3, 1))) / max(f_ref, 1e-9)
     return ThreeViewResult(K, np.asarray(prob_opt.R),
                            np.asarray(prob_opt.t),
                            np.asarray(prob_opt.points), inl, rmse)

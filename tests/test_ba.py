@@ -129,12 +129,16 @@ def _jacobians_ad(prob):
 
 
 def test_analytic_jacobians_match_autodiff():
-    for model in ("normalized", "snavely"):
+    for model in ("normalized", "snavely", "pinhole_f"):
         rng = np.random.default_rng(11)
         pts, Rs, ts, intr, oxy, ov, oval = build_scene(
-            rng, n_views=4, n_points=15, model=model)
+            rng, n_views=4, n_points=15,
+            model="snavely" if model == "snavely" else "normalized")
         if model == "snavely":
             intr = intr + np.array([0.0, 0.02, 0.004])  # nonzero distortion
+        if model == "pinhole_f":
+            intr = np.full((len(Rs), 1), 450.0)
+            oxy = oxy * 450.0      # normalized obs -> pinhole_f pixels
         prob = ba.make_problem(Rs, ts, pts, oxy, ov, oval, intr=intr,
                                model=model)
         Jv, Jp, r = ba._jacobians(prob)

@@ -31,6 +31,7 @@ EXAMPLES = [
     "remove_lens_distortion",
     "remove_perspective",
     "video_stabilization",
+    "uncalibrated_reconstruction",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Uncalibrated multi-view reconstruction (structure2) oracles: synthetic
+features, NO intrinsics given — K must come from self-calibration and all
+views must register."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from boofcv_tpu.geo import se3
+from boofcv_tpu.sfm import structure2
+from boofcv_tpu.sfm.reconstruction import ImageFeatures
+
+H, W = 240, 320
+F = 280.0
+
+
+def synthetic(rng, n_views=5, n_points=150):
+    pts = np.stack([rng.uniform(-2, 2, n_points),
+                    rng.uniform(-1.5, 1.5, n_points),
+                    rng.uniform(5, 9, n_points)], 1)
+    desc = rng.normal(0, 1, (n_points, 64))
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    K = np.array([[F, 0, (W - 1) / 2], [0, F, (H - 1) / 2], [0, 0, 1.0]])
+    poses, feats = [], []
+    for v in range(n_views):
+        R = np.asarray(se3.exp_so3(jnp.asarray(rng.normal(0, 0.03, 3))))
+        # non-collinear centers: collinear translation is a critical
+        # motion for self-calibration (degenerate dual quadratic)
+        c = np.array([0.55 * v, 0.35 * (v % 2), 0.22 * ((v // 2) % 2)])
+        t = -R @ c
+        poses.append((R, t))
+        pc = pts @ R.T + t
+        pr = (pc / pc[:, 2:]) @ K.T
+        vis = ((pr[:, :2] > 6) & (pr[:, :2] < [W - 6, H - 6])).all(1) \
+            & (pc[:, 2] > 0.1)
+        idx = np.nonzero(vis)[0]
+        perm = rng.permutation(len(idx))
+        idx = idx[perm]
+        feats.append(ImageFeatures(
+            ys=pr[idx, 1] + rng.normal(0, 0.15, len(idx)),
+            xs=pr[idx, 0] + rng.normal(0, 0.15, len(idx)),
+            scales=np.ones(len(idx)),
+            desc=desc[idx] + rng.normal(0, 0.02, (len(idx), 64)),
+            valid=np.ones(len(idx), bool)))
+    return poses, feats
+
+
+def test_structure2_uncalibrated_full_pipeline():
+    rng = np.random.default_rng(0)
+    poses, feats = synthetic(rng)
+    it = iter(feats)
+    scene = structure2.reconstruct_uncalibrated(
+        [np.zeros((H, W), np.float32)] * len(feats),
+        detect=lambda im: next(it))
+    # all views registered
+    assert len(scene["poses"]) == len(feats), sorted(scene["poses"])
+    # self-calibrated focal in the right range (3-view self-calib is
+    # noise-sensitive; the structure checks below are the strong oracle)
+    assert abs(scene["K"][0, 0] - F) / F < 0.15, scene["K"]
+    # camera centers match GT up to similarity
+    gt = np.stack([-R.T @ t for R, t in poses])
+    est = np.stack([-scene["poses"][v][0].T @ scene["poses"][v][1]
+                    for v in range(len(poses))])
+    gt_c = gt - gt.mean(0)
+    est_c = est - est.mean(0)
+    s = np.linalg.norm(gt_c) / max(np.linalg.norm(est_c), 1e-12)
+    U, _, Vt = np.linalg.svd(est_c.T @ gt_c)
+    Rp = (U @ Vt).T
+    err = np.linalg.norm(gt_c - s * est_c @ Rp.T, axis=1).max()
+    span = np.linalg.norm(gt[-1] - gt[0])
+    assert err < 0.08 * span, (err, span)
+    assert len(scene["points"]) > 100
+
+
+def test_structure2_rejects_disconnected():
+    rng = np.random.default_rng(1)
+    # two unrelated feature sets -> no 3D-consistent edges
+    f = [ImageFeatures(ys=rng.uniform(0, H, 30), xs=rng.uniform(0, W, 30),
+                       scales=np.ones(30),
+                       desc=rng.normal(0, 1, (30, 64)),
+                       valid=np.ones(30, bool)) for _ in range(3)]
+    it = iter(f)
+    with pytest.raises(ValueError):
+        structure2.reconstruct_uncalibrated(
+            [np.zeros((H, W), np.float32)] * 3, detect=lambda im: next(it))
