@@ -164,6 +164,13 @@ def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
         obs_mask = np.ones(obs.shape[:2], bool)
     else:
         obs_mask = np.asarray(obs_mask, bool)
+        counts = obs_mask.sum(axis=1)
+        if (counts < 4).any():
+            bad = np.nonzero(counts < 4)[0].tolist()
+            raise ValueError(
+                f"views {bad} have fewer than 4 unmasked corners "
+                f"(counts {counts[bad].tolist()}) — the per-view "
+                "homography is underdetermined; drop those views")
 
     if obs_mask.all():
         Hs = np.asarray(homographies_per_view(world_xy, obs))

@@ -192,6 +192,13 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         obs_xy=prob.obs_xy.astype(dtype))
     V = prob.R.shape[0]
     model = prob.model
+    # mirror ba._optimize_impl's mixed-precision recipe on the f32 fast
+    # path: f64 for the tiny conditioning-critical 3x3 point-block
+    # inverses + f64 iterative refinement of the reduced solve, so the
+    # distributed path converges like the single-device one
+    mixed = dtype == jnp.float32
+    solve_dtype = jnp.float64 if mixed else None
+    refine_steps = 2 if mixed else 0
 
     # static (non-carried) per-shard data.  The point axis shards over
     # EVERY mesh axis: on a 1D ('shard',) mesh that is plain data
@@ -231,7 +238,7 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         Jv, Jp, s_v, s_p = ba._scale_jacobians(obs_view, Jv, Jp, V,
                                                hvv_diag=hvv_diag)
         S, gv_t, Hpp_inv, W, gp = ba._local_system(
-            obs_view, Jv, Jp, r, lam, V)
+            obs_view, Jv, Jp, r, lam, V, solve_dtype=solve_dtype)
         gv_t = jax.lax.psum(gv_t, axes)
         if reduced_solver == "pcg":
             dv = _solve_reduced_pcg(S, gv_t, fixed_views, lam,
@@ -239,7 +246,8 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         else:
             # one all-reduce for the full reduced camera system
             S = jax.lax.psum(S, axes)
-            dv = ba._solve_reduced(S, gv_t, fixed_views, lam)
+            dv = ba._solve_reduced(S, gv_t, fixed_views, lam,
+                                   refine_steps=refine_steps)
         dp = ba._back_substitute(obs_view, Hpp_inv, W, gp, dv)
         dv = dv / s_v
         dp = dp / s_p

@@ -277,9 +277,11 @@ class ComaniciuState(NamedTuple):
     ry0: float           # original half sizes (minimum-size clamp)
     rx0: float
     num_bins: int
+    max_value: float     # intensity range top (reference maxPixelValue)
 
 
-def _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n: int = 24):
+def _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n: int = 24,
+                    max_value: float = 256.0):
     """Epanechnikov-weighted intensity histogram of an axis-aligned
     region sampled on a fixed n x n normalized grid (the reference's
     LocalWeightedHistogramRotRect with rotation fixed to 0).
@@ -291,25 +293,33 @@ def _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n: int = 24):
     yy = cy + uu * ry
     xx = cx + vv * rx
     vals = bilinear(img, yy, xx)
-    bins = jnp.clip((vals / 256.0 * num_bins).astype(jnp.int32), 0,
+    bins = jnp.clip((vals / max_value * num_bins).astype(jnp.int32), 0,
                     num_bins - 1)
     hist = jnp.zeros((num_bins,), jnp.float32).at[bins.ravel()].add(
         kern.ravel())
     return hist / jnp.maximum(jnp.sum(hist), 1e-12), bins, kern
 
 
-def comaniciu_init(image, cy, cx, ry, rx, num_bins: int = 32
-                   ) -> ComaniciuState:
+def comaniciu_init(image, cy, cx, ry, rx, num_bins: int = 32,
+                   max_pixel_value: float | None = None) -> ComaniciuState:
+    """``max_pixel_value``: top of the intensity range used for binning
+    (the reference's maxPixelValue).  Default None auto-detects the
+    [0, 1] float convention vs 8-bit [0, 255] from the key frame so
+    float images don't collapse into bin 0."""
     img = jnp.asarray(image, jnp.float32)
+    if max_pixel_value is None:
+        max_pixel_value = 1.0 if float(jnp.max(img)) <= 1.0 else 256.0
     q, _, _ = _comaniciu_hist(img, jnp.float32(cy), jnp.float32(cx),
-                              jnp.float32(ry), jnp.float32(rx), num_bins)
+                              jnp.float32(ry), jnp.float32(rx), num_bins,
+                              max_value=max_pixel_value)
     return ComaniciuState(q, jnp.float32(cy), jnp.float32(cx),
                           jnp.float32(ry), jnp.float32(rx),
-                          float(ry), float(rx), num_bins)
+                          float(ry), float(rx), num_bins,
+                          float(max_pixel_value))
 
 
 def _comaniciu_shift(img, q, cy, cx, ry, rx, num_bins, iterations,
-                     min_change):
+                     min_change, max_value: float = 256.0):
     """Mean-shift to the Bhattacharyya-maximizing location at ONE scale.
 
     Sample weights w_i = sqrt(q[b_i] / p[b_i]) (Comaniciu 2003 eq. 25);
@@ -326,7 +336,8 @@ def _comaniciu_shift(img, q, cy, cx, ry, rx, num_bins, iterations,
 
     def body(_, st):
         cy, cx, frozen = st
-        p, bins, kern = _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n)
+        p, bins, kern = _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n,
+                                        max_value=max_value)
         w = jnp.sqrt(q[bins] / jnp.maximum(p[bins], 1e-12)) * kern
         tot = jnp.sum(w) + 1e-12
         ny = jnp.sum(w * (cy + uu * ry)) / tot
@@ -338,7 +349,8 @@ def _comaniciu_shift(img, q, cy, cx, ry, rx, num_bins, iterations,
 
     cy, cx, _ = jax.lax.fori_loop(
         0, iterations, body, (cy, cx, jnp.asarray(False)))
-    p, _, _ = _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n)
+    p, _, _ = _comaniciu_hist(img, cy, cx, ry, rx, num_bins, n,
+                              max_value=max_value)
     bh = jnp.sum(jnp.sqrt(p * q))
     return cy, cx, bh
 
@@ -364,7 +376,8 @@ def comaniciu_track(state: ComaniciuState, image, max_iterations: int = 30,
         rx = state.rx * s
         cy, cx, bh = _comaniciu_shift(img, state.q, state.cy, state.cx,
                                       ry, rx, state.num_bins,
-                                      max_iterations, min_change)
+                                      max_iterations, min_change,
+                                      max_value=state.max_value)
         results.append((float(bh), float(cy), float(cx), float(ry),
                         float(rx)))
     bh, cy, cx, ry, rx = max(results)
@@ -377,6 +390,7 @@ def comaniciu_track(state: ComaniciuState, image, max_iterations: int = 30,
     if update_histogram:
         q, _, _ = _comaniciu_hist(img, jnp.float32(cy), jnp.float32(cx),
                                   jnp.float32(ry), jnp.float32(rx),
-                                  state.num_bins)
+                                  state.num_bins,
+                                  max_value=state.max_value)
     return state._replace(q=q, cy=jnp.float32(cy), cx=jnp.float32(cx),
                           ry=jnp.float32(ry), rx=jnp.float32(rx))

@@ -30,6 +30,7 @@ class TldConfig:
     fern_size: int = 8           # bits per fern
     variance_frac: float = 0.5   # min variance vs initial patch
     ncc_confirm: float = 0.6
+    track_confirm: float = 0.5   # min fused confidence to stay "found"
     template_size: int = 15
     max_templates: int = 50
     scale_steps: tuple = (0.8, 1.0, 1.25)
@@ -269,10 +270,17 @@ class TldTracker:
         if chosen is None:
             return False, self.box
         conf, cy, cx, h, w = chosen
+        # low-confidence hypotheses (occlusion, drift) are neither trusted
+        # nor learned from — the reference only learns from confident
+        # hypotheses, which keeps the model from training on background
+        if conf < cfg.track_confirm:
+            return False, self.box
         self.box = (float(cy), float(cx), float(h), float(w))
-        # P/N learning: positive at the fused box; negatives at windows
-        # the detector liked far from it (N-expert suppressing drift)
-        self._learn(image, cy, cx, h, w, True)
+        # P/N learning: positive at the fused box, gated on a strong
+        # confidence so occluded frames don't poison the templates;
+        # negatives at windows the detector liked far from it (N-expert)
+        if conf >= cfg.ncc_confirm:
+            self._learn(image, cy, cx, h, w, True)
         if det is not None:
             _, dcy, dcx, dh, dw = det
             if abs(dcy - cy) > h or abs(dcx - cx) > w:

@@ -161,11 +161,21 @@ def estimate_metric_scene(p1, p2, p3, image_shape, key=None,
         # re-derive structure consistent with this focal guess: rescale
         # the normalized observations and re-triangulate
         obs_i = np.asarray(obs_n) * (f0 / f_i)
-        X_i = np.asarray(triangulate.triangulate_nview_linear(
-            jnp.asarray(obs_i.transpose(1, 0, 2)), jnp.asarray(Rs),
-            jnp.asarray(ts))) if mult != 1.0 else np.asarray(X)
+        ts_i = ts
+        if mult != 1.0:
+            X_i = np.asarray(triangulate.triangulate_nview_linear(
+                jnp.asarray(obs_i.transpose(1, 0, 2)), jnp.asarray(Rs),
+                jnp.asarray(ts)))
+            # same cheirality flip as the mult=1.0 structure above: the
+            # pinhole_f cost is mirror-invariant, so without it a
+            # behind-camera mirror can win the min-cost selection
+            if inl.any() and np.median(X_i[inl, 2]) < 0:
+                X_i = -X_i
+                ts_i = -ts
+        else:
+            X_i = np.asarray(X)
         prob = ba.make_problem(
-            R=Rs, t=ts, points=X_i,
+            R=Rs, t=ts_i, points=X_i,
             obs_xy=np.asarray(obs_px.transpose(1, 0, 2)),
             obs_view=np.tile(np.arange(3, dtype=np.int32), (n, 1)),
             obs_valid=np.tile(inl[:, None], (1, 3)),
