@@ -32,6 +32,7 @@ EXAMPLES = [
     "remove_perspective",
     "video_stabilization",
     "uncalibrated_reconstruction",
+    "canny_edge",
 ]
 
 
