@@ -85,6 +85,54 @@ def closing(image, eight=False, times=1):
     return out
 
 
+def thin(binary: jnp.ndarray, max_iters: int = -1) -> jnp.ndarray:
+    """Morphological thinning / skeletonization (BinaryThinning.java:45
+    analog — the reference applies 8 hit-or-miss masks per pass; here the
+    Zhang-Suen two-subpass formulation, whose deletion tests are pure
+    parallel stencils, iterated under ``lax.while_loop`` until the
+    skeleton stops changing).  Preserves connectivity and endpoints;
+    output is a 1-px-wide skeleton."""
+    img = (jnp.asarray(binary) > 0)
+    h, w = img.shape
+
+    def ring(cur):
+        """8-neighbor ring ordered p2..p9 = N, NE, E, SE, S, SW, W, NW."""
+        p = jnp.pad(cur, 1)
+        offs = [(-1, 0), (-1, 1), (0, 1), (1, 1),
+                (1, 0), (1, -1), (0, -1), (-1, -1)]
+        return jnp.stack([p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                          for dy, dx in offs])
+
+    def subpass(cur, parity):
+        n = ring(cur)
+        b = jnp.sum(n, axis=0)
+        nxt = jnp.roll(n, -1, axis=0)
+        a = jnp.sum((~n) & nxt, axis=0)          # 0->1 transitions in ring
+        p2, p4, p6, p8 = n[0], n[2], n[4], n[6]
+        if parity == 0:
+            cond = ~(p2 & p4 & p6) & ~(p4 & p6 & p8)
+        else:
+            cond = ~(p2 & p4 & p8) & ~(p2 & p6 & p8)
+        remove = cur & (b >= 2) & (b <= 6) & (a == 1) & cond
+        return cur & ~remove
+
+    def body(state):
+        cur, _, it = state
+        out = subpass(subpass(cur, 0), 1)
+        return out, cur, it + 1
+
+    def cond(state):
+        cur, prev, it = state
+        changed = jnp.any(cur != prev)
+        if max_iters > 0:
+            return changed & (it < max_iters)
+        return changed
+
+    out, _, _ = lax.while_loop(
+        cond, body, (subpass(subpass(img, 0), 1), img, jnp.int32(1)))
+    return out.astype(jnp.uint8)
+
+
 def label_blobs(binary: jnp.ndarray, eight: bool = True,
                 max_iters: int = 0) -> jnp.ndarray:
     """Connected-component labeling by iterative min-label propagation.
@@ -162,13 +210,46 @@ def contour_external(binary, label: int | None = None) -> list[np.ndarray]:
     return _contour_external_py(binary, label)
 
 
+# Moore neighborhood (dy, dx), clockwise in image coords starting from W
+_NBR = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
+
+
+def _trace_radial(padded, traced, y, x, backtrack):
+    """Radial-sweep Moore trace from (y, x) in padded coords, entering
+    with the background ``backtrack`` neighbor index; terminates when the
+    (pixel, direction) state repeats — visits every boundary pixel
+    exactly as the reference's tracer (LinearContourLabelChang2004 uses
+    the same walker for external and internal contours, differing only
+    in start pixel and initial backtrack)."""
+    first = None
+    for i in range(1, 9):
+        dd = (backtrack + i) % 8
+        if padded[y + _NBR[dd][0], x + _NBR[dd][1]]:
+            first = dd
+            break
+    if first is None:  # isolated pixel
+        traced[y, x] = True
+        return np.array([(x - 1, y - 1)], dtype=np.int32)
+    contour = []
+    states = set()
+    cy, cx, d = y, x, first
+    while (cy, cx, d) not in states:
+        states.add((cy, cx, d))
+        contour.append((cx - 1, cy - 1))
+        traced[cy, cx] = True
+        cy, cx = cy + _NBR[d][0], cx + _NBR[d][1]
+        for i in range(8):
+            dd = (d + 6 + i) % 8
+            if padded[cy + _NBR[dd][0], cx + _NBR[dd][1]]:
+                d = dd
+                break
+    return np.array(contour, dtype=np.int32)
+
+
 def _contour_external_py(binary, label: int | None = None) -> list[np.ndarray]:
     img = np.asarray(binary) > 0
     h, w = img.shape
     contours = []
-    # Moore neighborhood (dy, dx), clockwise in image coords starting from W
-    nbr = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
-
     padded = np.zeros((h + 2, w + 2), dtype=bool)
     padded[1:-1, 1:-1] = img
     traced = np.zeros_like(padded)
@@ -176,33 +257,57 @@ def _contour_external_py(binary, label: int | None = None) -> list[np.ndarray]:
         for x in range(1, w + 1):
             if not padded[y, x] or traced[y, x] or padded[y, x - 1]:
                 continue
-            # First move: the raster scan entered from the west (background),
-            # so the backtrack direction is W (index 0); search clockwise.
-            first = None
-            for i in range(1, 9):
-                dd = i % 8
-                if padded[y + nbr[dd][0], x + nbr[dd][1]]:
-                    first = dd
-                    break
-            if first is None:  # isolated pixel
-                traced[y, x] = True
-                contours.append(np.array([(x - 1, y - 1)], dtype=np.int32))
-                continue
-            # Radial-sweep trace; terminate when the (pixel, direction) state
-            # repeats — this visits every external-boundary pixel exactly as
-            # the reference's tracer does (LinearExternalContours.java).
-            contour = []
-            states = set()
-            cy, cx, d = y, x, first
-            while (cy, cx, d) not in states:
-                states.add((cy, cx, d))
-                contour.append((cx - 1, cy - 1))
-                traced[cy, cx] = True
-                cy, cx = cy + nbr[d][0], cx + nbr[d][1]
-                for i in range(8):
-                    dd = (d + 6 + i) % 8
-                    if padded[cy + nbr[dd][0], cx + nbr[dd][1]]:
-                        d = dd
-                        break
-            contours.append(np.array(contour, dtype=np.int32))
+            # The raster scan entered from the west (background), so the
+            # backtrack direction is W (index 0); search clockwise.
+            contours.append(_trace_radial(padded, traced, y, x, 0))
     return contours
+
+
+def contours_with_holes(binary) -> list[dict]:
+    """External AND internal contour tracing — the full
+    LinearContourLabelChang2004.java:59 behavior (the external-only fast
+    path is :func:`contour_external`).  Host-side finisher.
+
+    Returns one dict per blob (raster order, matching
+    ``label_blobs_host`` ids 1..N): ``{"label": i, "external": [K, 2]
+    (x, y), "internal": [[K_j, 2], ...]}`` where each internal contour
+    walks the blob pixels surrounding one hole."""
+    img = np.asarray(binary) > 0
+    h, w = img.shape
+    labels, n = label_blobs_host(img, eight=True)
+
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = img
+    traced = np.zeros_like(padded)
+
+    out = [{"label": i + 1, "external": None, "internal": []}
+           for i in range(n)]
+    for y in range(1, h + 1):
+        for x in range(1, w + 1):
+            if not padded[y, x] or traced[y, x] or padded[y, x - 1]:
+                continue
+            c = _trace_radial(padded, traced, y, x, 0)
+            lab = labels[c[0, 1], c[0, 0]]
+            if out[lab - 1]["external"] is None:
+                out[lab - 1]["external"] = c
+
+    # holes: background components (4-connected, the dual of 8-connected
+    # blobs) that do not touch the image border
+    bg_labels, n_bg = label_blobs_host(~img, eight=False)
+    border = np.zeros(n_bg + 1, bool)
+    for edge in (bg_labels[0], bg_labels[-1], bg_labels[:, 0],
+                 bg_labels[:, -1]):
+        border[np.unique(edge[edge > 0])] = True
+    hole_traced = np.zeros_like(padded)
+    for hid in range(1, n_bg + 1):
+        if border[hid]:
+            continue
+        ys, xs = np.nonzero(bg_labels == hid)
+        k = np.lexsort((xs, ys))[0]          # topmost-leftmost hole pixel
+        hy, hx = int(ys[k]) + 1, int(xs[k]) + 1
+        # the pixel above it is a blob pixel on the hole's boundary;
+        # backtrack points south into the hole (index 6)
+        c = _trace_radial(padded, hole_traced, hy - 1, hx, 6)
+        lab = labels[c[0, 1], c[0, 0]]
+        out[lab - 1]["internal"].append(c)
+    return out

@@ -33,6 +33,8 @@ EXAMPLES = [
     "video_stabilization",
     "uncalibrated_reconstruction",
     "canny_edge",
+    "morphological_thinning",
+    "equirectangular_views",
 ]
 
 
