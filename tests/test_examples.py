@@ -35,6 +35,7 @@ EXAMPLES = [
     "canny_edge",
     "morphological_thinning",
     "equirectangular_views",
+    "color_histogram_lookup",
 ]
 
 
