@@ -102,6 +102,11 @@ def main():
 
     bench_window_ba()
 
+    # breadth surface: disparity BM/SGM, SURF, association, Zhang99 —
+    # each with a measured vectorized-numpy CPU baseline
+    import bench_breadth
+    bench_breadth.run_all()
+
     # primary metric LAST (the driver parses the final JSON line)
     print(json.dumps({
         "metric": "stereo_vo_frames_per_s_per_chip_640x480",

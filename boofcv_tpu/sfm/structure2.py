@@ -56,17 +56,45 @@ class PairwiseGraph2:
     edges: dict = field(default_factory=dict)
 
 
+def _batched_fh_ransac(keys, pa, pb, mask, num_hypotheses: int = 256,
+                       threshold_px: float = 2.0):
+    """F-RANSAC and H-RANSAC for a BATCH of pairs as one vmapped jitted
+    program — the hypothesis-parallel solvers are pure traced jnp, so
+    pairs become one more batch axis (the graph generator's former
+    2-dispatches-per-pair host loop was the structure2 scaling wall)."""
+
+    def one(key, a, b, m):
+        k1, k2 = jax.random.split(key)
+        rf = robust.ransac_fundamental(k1, a, b,
+                                       num_hypotheses=num_hypotheses,
+                                       inlier_threshold_px=threshold_px,
+                                       valid_mask=m)
+        rh = robust.ransac_homography(k2, a, b,
+                                      num_hypotheses=num_hypotheses,
+                                      inlier_threshold_px=threshold_px,
+                                      valid_mask=m)
+        return (rf.model[0], rf.inliers, rf.num_inliers, rh.num_inliers)
+
+    return jax.jit(jax.vmap(one))(keys, pa, pb, mask)
+
+
 def generate_pairwise_graph(images, max_features: int = 300,
                             detect=None, min_matches: int = 20,
-                            seed: int = 0) -> PairwiseGraph2:
+                            seed: int = 0,
+                            pair_chunk: int = 64) -> PairwiseGraph2:
     """All-pairs matching with F-vs-H model scoring
-    (GeneratePairwiseImageGraph.process analog)."""
+    (GeneratePairwiseImageGraph.process analog).
+
+    Candidate pairs are padded to a common match count and their robust
+    F/H fits run ``pair_chunk`` at a time through one vmapped RANSAC
+    program (50 views = 1225 pairs = ~20 dispatches, not 2450)."""
     detect = detect or (lambda im: reconstruction.detect_describe(
         im, max_features))
     feats = [detect(im) for im in images]
     g = PairwiseGraph2(feats)
-    key = jax.random.PRNGKey(seed)
     n = len(images)
+
+    cands = []
     for a in range(n):
         for b in range(a + 1, n):
             src, dst = reconstruction.match_features(feats[a], feats[b])
@@ -74,22 +102,43 @@ def generate_pairwise_graph(images, max_features: int = 300,
                 continue
             pa = np.stack([feats[a].xs[src], feats[a].ys[src]], 1)
             pb = np.stack([feats[b].xs[dst], feats[b].ys[dst]], 1)
-            key, k1, k2 = jax.random.split(key, 3)
-            rf = robust.ransac_fundamental(k1, jnp.asarray(pa),
-                                           jnp.asarray(pb),
-                                           num_hypotheses=256,
-                                           inlier_threshold_px=2.0)
-            rh = robust.ransac_homography(k2, jnp.asarray(pa),
-                                          jnp.asarray(pb),
-                                          num_hypotheses=256,
-                                          inlier_threshold_px=2.0)
-            nf = int(rf.num_inliers)
-            nh = int(rh.num_inliers)
+            cands.append((a, b, src, dst, pa, pb))
+    if not cands:
+        return g
+
+    nmax = max(len(c[4]) for c in cands)
+    P = len(cands)
+    pa_all = np.zeros((P, nmax, 2))
+    pb_all = np.zeros((P, nmax, 2))
+    mask_all = np.zeros((P, nmax), bool)
+    for i, (_, _, _, _, pa, pb) in enumerate(cands):
+        pa_all[i, :len(pa)] = pa
+        pb_all[i, :len(pb)] = pb
+        mask_all[i, :len(pa)] = True
+    keys = jax.random.split(jax.random.PRNGKey(seed), P)
+
+    for lo in range(0, P, pair_chunk):
+        hi = min(lo + pair_chunk, P)
+        # pad the last chunk to the compiled chunk shape (dummy = slot 0)
+        idx = np.arange(lo, hi)
+        if hi - lo < pair_chunk and P > pair_chunk:
+            idx = np.concatenate(
+                [idx, np.zeros(pair_chunk - (hi - lo), np.int64)])
+        F_b, inl_b, nf_b, nh_b = _batched_fh_ransac(
+            keys[idx], jnp.asarray(pa_all[idx]), jnp.asarray(pb_all[idx]),
+            jnp.asarray(mask_all[idx]))
+        F_b = np.asarray(F_b)
+        inl_b = np.asarray(inl_b)
+        nf_b = np.asarray(nf_b)
+        nh_b = np.asarray(nh_b)
+        for j, p in enumerate(range(lo, hi)):
+            a, b, src, dst, pa, pb = cands[p]
+            nf = int(nf_b[j])
             if nf < min_matches:
                 continue
             g.edges[(a, b)] = PairwiseEdge2(
-                a, b, src, dst, np.asarray(rf.inliers),
-                nf / max(nh, 1), np.asarray(rf.model[0]))
+                a, b, src, dst, inl_b[j, :len(pa)],
+                nf / max(int(nh_b[j]), 1), F_b[j])
     return g
 
 
@@ -101,23 +150,27 @@ def focal_from_fundamentals(g: PairwiseGraph2, width: int, height: int):
     noise-robust than the linear dual-quadratic solve.
     """
     cands = np.geomspace(0.25 * width, 5.0 * width, 120)
-    picks, weights = [], []
-    for e in g.edges.values():
-        if e.F is None or e.score_3d < 1.5:
-            continue
-        best = None
-        for f in cands:
-            K = np.array([[f, 0, (width - 1) / 2],
-                          [0, f, (height - 1) / 2], [0, 0, 1.0]])
-            E = K.T @ e.F @ K
-            sv = np.linalg.svd(E, compute_uv=False)
-            cost = (sv[0] - sv[1]) / max(sv[0] + sv[1], 1e-12)
-            if best is None or cost < best[0]:
-                best = (cost, f)
-        picks.append(best[1])
-        weights.append(int(e.f_inliers.sum()))
-    if not picks:
+    edges3d = [e for e in g.edges.values()
+               if e.F is not None and e.score_3d >= 1.5]
+    if not edges3d:
         raise ValueError("no 3D edges for focal self-calibration")
+    # ONE batched SVD over [edges, candidates] (the former per-edge
+    # Python loop ran 120 sequential SVDs per edge — minutes at 50
+    # views).  numpy's SVD batches natively over leading axes and the
+    # matrices are 3x3, so this stays host-side: eager device ops cost a
+    # tunnel round-trip each on the remote-TPU backend.
+    Fs = np.stack([e.F for e in edges3d])                    # [E, 3, 3]
+    Ks = np.zeros((len(cands), 3, 3))
+    Ks[:, 0, 0] = Ks[:, 1, 1] = cands
+    Ks[:, 0, 2] = (width - 1) / 2
+    Ks[:, 1, 2] = (height - 1) / 2
+    Ks[:, 2, 2] = 1.0
+    E_all = np.einsum("cji,ejk,ckl->ecil", Ks, Fs, Ks)       # [E, C, 3, 3]
+    sv = np.linalg.svd(E_all, compute_uv=False)              # [E, C, 3]
+    cost = (sv[..., 0] - sv[..., 1]) \
+        / np.maximum(sv[..., 0] + sv[..., 1], 1e-12)         # [E, C]
+    picks = cands[np.argmin(cost, axis=1)]
+    weights = [int(e.f_inliers.sum()) for e in edges3d]
     order = np.argsort(picks)
     cum = np.cumsum(np.asarray(weights)[order])
     med = np.asarray(picks)[order][np.searchsorted(cum, cum[-1] / 2.0)]
@@ -127,21 +180,25 @@ def focal_from_fundamentals(g: PairwiseGraph2, width: int, height: int):
 def _pick_seed_triple(g: PairwiseGraph2):
     """Views (a, b, c) joined by the two most-3D edges through a common
     view (ProjectiveInitializeAllCommon's seed heuristic)."""
-    best = None
     edges = list(g.edges.values())
-    for i, e1 in enumerate(edges):
-        for e2 in edges[i + 1:]:
-            shared = {e1.a, e1.b} & {e2.a, e2.b}
-            if len(shared) != 1:
-                continue
-            score = min(e1.score_3d, e2.score_3d) \
-                * min(e1.f_inliers.sum(), e2.f_inliers.sum())
-            if best is None or score > best[0]:
-                views = sorted({e1.a, e1.b, e2.a, e2.b})
-                best = (score, tuple(views))
-    if best is None:
+    # vectorized over the [E, E] edge-pair table (the O(E^2) Python loop
+    # was quadratic-with-large-constant at 50 views / ~1k edges)
+    ea = np.array([e.a for e in edges])
+    eb = np.array([e.b for e in edges])
+    s3 = np.array([e.score_3d for e in edges])
+    ni = np.array([int(e.f_inliers.sum()) for e in edges])
+    shared = ((ea[:, None] == ea[None, :]).astype(np.int32)
+              + (ea[:, None] == eb[None, :])
+              + (eb[:, None] == ea[None, :])
+              + (eb[:, None] == eb[None, :]))
+    score = np.minimum(s3[:, None], s3[None, :]) \
+        * np.minimum(ni[:, None], ni[None, :])
+    upper = np.triu(np.ones_like(score, dtype=bool), k=1)
+    score = np.where((shared == 1) & upper, score, -1.0)
+    i, j = np.unravel_index(np.argmax(score), score.shape)
+    if score[i, j] <= 0:
         raise ValueError("no connected 3D view triple in the graph")
-    return best[1]
+    return tuple(sorted({int(ea[i]), int(eb[i]), int(ea[j]), int(eb[j])}))
 
 
 def _triple_correspondences(g: PairwiseGraph2, va, vb, vc):
