@@ -96,6 +96,184 @@ def _circle_centers(image, rows: int, cols: int, min_area: int):
     return np.stack([c for c, _ in found])
 
 
+def _fit_ellipses(image, min_area: int):
+    """Dark-blob ellipse candidates: (centers [N, 2], sizes [N])."""
+    centers, sizes = [], []
+    for contour, area in _black_blob_contours(image, min_area):
+        e = shapes.fit_ellipse(contour)
+        if e is None or e["a"] <= 0 or e["b"] <= 0:
+            continue
+        if e["b"] / e["a"] < 0.25:   # too eccentric for a target circle
+            continue
+        centers.append(np.asarray(e["center"], np.float64))
+        sizes.append(float(e["a"]))
+    if not centers:
+        return np.zeros((0, 2)), np.zeros((0,))
+    return np.stack(centers), np.asarray(sizes)
+
+
+def assemble_ellipse_grid(centers, sizes=None, k_neighbors: int = 6,
+                          size_ratio: float = 1.6):
+    """Cluster ellipses into a lattice by connectivity growth
+    (EllipseClustersIntoRegularGrid.java / EllipseClustersIntoGrid.java
+    analog, built like the chessboard's frame-propagating BFS
+    ``assemble_grid_connectivity``): candidate edges = size-consistent
+    k-nearest neighbors; BFS assigns integer lattice coordinates, each
+    node carrying its own local (u, v) axis frame so strong perspective
+    and missing (occluded) circles are tolerated — diagonal and
+    skip-one links are rejected by the frame classification itself.
+
+    Returns (grid [R, C, 2] of (x, y), mask [R, C] bool) or None.
+    """
+    pts = np.asarray(centers, np.float64)
+    n = len(pts)
+    if n < 4:
+        return None
+    sz = np.asarray(sizes, np.float64) if sizes is not None else None
+
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    k = min(k_neighbors, n - 1)
+    nbr = np.argsort(d2, axis=1)[:, :k]
+    adj = [[] for _ in range(n)]
+    seen = set()
+    for i in range(n):
+        for j in nbr[i]:
+            j = int(j)
+            key = (min(i, j), max(i, j))
+            if key in seen:
+                continue
+            seen.add(key)
+            if sz is not None and (
+                    max(sz[i], sz[j]) > size_ratio * min(sz[i], sz[j])):
+                continue
+            adj[i].append(j)
+            adj[j].append(i)
+
+    seed = int(np.argmax([len(a) for a in adj]))
+    if len(adj[seed]) < 2:
+        return None
+    dirs = [pts[j] - pts[seed] for j in adj[seed]]
+    order = np.argsort([np.linalg.norm(d) for d in dirs])
+    u0 = dirs[order[0]]
+    v0 = None
+    for o in order[1:]:
+        d = dirs[o]
+        cosang = abs(np.dot(u0, d)) / (np.linalg.norm(u0)
+                                       * np.linalg.norm(d) + 1e-9)
+        # 45-deg tilt skews the axes: accept up to ~40 deg off-normal
+        if cosang < 0.75:
+            v0 = d
+            break
+    if v0 is None:
+        return None
+    if u0[0] * v0[1] - u0[1] * v0[0] < 0:
+        u0, v0 = v0, u0
+
+    coord = {seed: (0, 0)}
+    frame = {seed: (u0, v0)}
+    queue = [seed]
+    while queue:
+        i = queue.pop(0)
+        ui, vi = frame[i]
+        ci = np.array(coord[i])
+        for j in adj[i]:
+            if j in coord:
+                continue
+            d = pts[j] - pts[i]
+            su = np.dot(d, ui) / (np.dot(ui, ui) + 1e-12)
+            sv = np.dot(d, vi) / (np.dot(vi, vi) + 1e-12)
+            if abs(su) > 2 * abs(sv) and 0.5 < abs(su) < 1.6:
+                step = (int(np.sign(su)), 0)
+                new_u, new_v = d * np.sign(su), vi
+            elif abs(sv) > 2 * abs(su) and 0.5 < abs(sv) < 1.6:
+                step = (0, int(np.sign(sv)))
+                new_u, new_v = ui, d * np.sign(sv)
+            else:
+                continue
+            coord[j] = (ci[0] + step[0], ci[1] + step[1])
+            frame[j] = (new_u, new_v)
+            queue.append(j)
+
+    if len(coord) < 4:
+        return None
+
+    # global projective refinement: a planar lattice maps to the image
+    # by an exact homography, so fit (u, v) -> (x, y) over the BFS
+    # assignment and re-derive every point's lattice cell by rounding
+    # H^-1 (x, y) — this repairs the occasional BFS misclassification
+    # under strong perspective (the reference's grid-fit step in
+    # EllipseClustersIntoGrid plays the same role)
+    import jax.numpy as _jnp
+    from boofcv_tpu.geo import epipolar as _epi
+    idxs = sorted(coord)
+    uv_ass = np.array([coord[i] for i in idxs], np.float64)
+    xy_ass = pts[idxs]
+    assign = None
+    for _ in range(3):
+        Hm = np.asarray(_epi.homography_dlt(
+            _jnp.asarray(uv_ass[None]), _jnp.asarray(xy_ass[None])))[0]
+        Hinv = np.linalg.inv(Hm)
+        ph = np.c_[pts, np.ones(n)] @ Hinv.T
+        uv_all = ph[:, :2] / ph[:, 2:]
+        ij_all = np.round(uv_all).astype(int)
+        resid = np.linalg.norm(uv_all - ij_all, axis=1)
+        keep = resid < 0.35
+        # resolve cell duplicates by smallest residual
+        cells = {}
+        for i in np.nonzero(keep)[0]:
+            c_key = (ij_all[i, 0], ij_all[i, 1])
+            if c_key not in cells or resid[i] < resid[cells[c_key]]:
+                cells[c_key] = int(i)
+        new_assign = {i: c_key for c_key, i in cells.items()}
+        if new_assign == assign:
+            break
+        assign = new_assign
+        if len(assign) < 4:
+            return None
+        idxs = sorted(assign)
+        uv_ass = np.array([assign[i] for i in idxs], np.float64)
+        xy_ass = pts[idxs]
+    if assign is None or len(assign) < 4:
+        return None
+
+    ij = np.array([assign[i] for i in sorted(assign)])
+    idxs = sorted(assign)
+    ij -= ij.min(axis=0)
+    C, R = ij[:, 0].max() + 1, ij[:, 1].max() + 1
+    if R * C > 4 * len(assign):
+        return None                      # incoherent sparse lattice
+    grid = np.zeros((R, C, 2))
+    mask = np.zeros((R, C), bool)
+    for i, (cu, cv) in zip(idxs, ij):
+        grid[cv, cu] = pts[i]
+        mask[cv, cu] = True
+
+    # canonical orientation (same convention as the chessboard walker)
+    def score(g, m):
+        return g[0, 0] @ np.ones(2) if m[0, 0] else np.inf
+    best = (grid, mask)
+    best_s = score(grid, mask)
+    g, m = grid, mask
+    for _ in range(3):
+        g = np.transpose(g[:, ::-1], (1, 0, 2))
+        m = m[:, ::-1].T
+        s = score(g, m)
+        if s < best_s:
+            best_s, best = s, (g.copy(), m.copy())
+    return best
+
+
+def detect_circle_regular_grid_auto(image, min_area: int = 20):
+    """Regular circle grid with UNKNOWN size and occlusion tolerance:
+    ellipse candidates -> connectivity lattice growth.  Returns
+    (grid [R, C, 2], mask [R, C]) or None."""
+    centers, sizes = _fit_ellipses(image, min_area)
+    if len(centers) < 4:
+        return None
+    return assemble_ellipse_grid(centers, sizes)
+
+
 def detect_circle_regular_grid(image, rows: int, cols: int,
                                min_area: int = 20):
     """Regular (square-lattice) circle grid: returns the ``rows*cols``
@@ -105,10 +283,50 @@ def detect_circle_regular_grid(image, rows: int, cols: int,
     cancel perspective bias of the center — centers are the lattice used
     for grid ordering there too, KeyPointsCircleRegularGrid.java.)
     """
+    # connectivity lattice growth first (oblique-robust); homography
+    # cell-rounding _order_grid as the frontal fallback
+    res = detect_circle_regular_grid_auto(image, min_area)
+    if res is not None:
+        grid, mask = res
+        for g, m in ((grid, mask),
+                     (np.transpose(grid, (1, 0, 2)), mask.T)):
+            if m.shape == (rows, cols) and m.all():
+                return g.reshape(-1, 2)
     centers = _circle_centers(image, rows, cols, min_area)
     if centers is None:
         return None
     return _order_grid(centers, rows, cols)
+
+
+def detect_circle_hexagonal_grid_auto(image, min_area: int = 10):
+    """Hexagonal circle grid with UNKNOWN size + occlusion tolerance
+    (EllipseClustersIntoHexagonalGrid analog).
+
+    The hex lattice's nearest-neighbor graph IS a square lattice in the
+    two diagonal directions: circle (i, j) [i+j even] maps to diagonal
+    coords a=(i+j)/2, b=(i-j)/2, so the SAME frame-propagating BFS
+    recovers (a, b) and the hex indices come back as i=a+b, j=a-b.
+
+    Returns {"rows", "cols", "points": [(i, j, x, y), ...]} with hex
+    indices satisfying (i + j) even, or None.
+    """
+    centers, sizes = _fit_ellipses(image, min_area)
+    if len(centers) < 4:
+        return None
+    res = assemble_ellipse_grid(centers, sizes, k_neighbors=6)
+    if res is None:
+        return None
+    grid, mask = res
+    vs, us = np.nonzero(mask)
+    i_h = us + vs
+    j_h = us - vs
+    i_h -= i_h.min()
+    j_h -= j_h.min()
+    pts = [(int(i), int(j), float(grid[v, u, 0]), float(grid[v, u, 1]))
+           for i, j, v, u in zip(i_h, j_h, vs, us)]
+    pts.sort()
+    return {"rows": int(i_h.max()) + 1, "cols": int(j_h.max()) + 1,
+            "points": pts}
 
 
 def detect_circle_hexagonal_grid(image, rows: int, cols: int,
@@ -129,6 +347,17 @@ def detect_circle_hexagonal_grid(image, rows: int, cols: int,
     """
     num = sum((cols + 1) // 2 if r % 2 == 0 else cols // 2
               for r in range(rows))
+    # connectivity lattice growth first (oblique-robust)
+    auto = detect_circle_hexagonal_grid_auto(image, min_area)
+    if auto is not None and len(auto["points"]) == num:
+        for swap in (False, True):
+            r_a, c_a = ((auto["rows"], auto["cols"]) if not swap
+                        else (auto["cols"], auto["rows"]))
+            if (r_a, c_a) != (rows, cols):
+                continue
+            pts = sorted((j, i, x, y) if swap else (i, j, x, y)
+                         for i, j, x, y in auto["points"])
+            return np.array([[x, y] for _, _, x, y in pts])
     found = []
     for contour, area in _black_blob_contours(image, min_area):
         e = shapes.fit_ellipse(contour)

@@ -274,6 +274,82 @@ def make_sequence_runner(cfg: StereoVoConfig, rectK, baseline: float):
     return run
 
 
+def init_batched_state(cfg: StereoVoConfig, num_streams: int, height: int,
+                       width: int, seed: int = 0) -> StereoVoState:
+    """Stacked state for ``num_streams`` independent VO streams (leading
+    stream axis on every leaf; distinct RANSAC keys per stream)."""
+    states = [init_state(cfg, height, width, seed + i)
+              for i in range(num_streams)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def make_batched_step(cfg: StereoVoConfig, rectK, baseline: float):
+    """B independent VO streams as ONE compiled program: ``vmap`` of the
+    per-frame step over a leading stream axis.
+
+    step(states, lefts [B,H,W], rights [B,H,W]) -> (states, metrics).
+
+    This is the TPU-native throughput lever the reference cannot express
+    (BoofConcurrency.java:82 parallelizes within one frame only): the
+    single-stream step is dispatch/HBM-latency bound at <2% MFU
+    (PROFILE.md), so batching B cameras/sequences into one program buys
+    ~B-fold frames/s/chip at near-constant latency until the MXU/HBM
+    saturate.  Multi-camera rigs, fleet replay, and dataset evaluation
+    are the natural users.
+    """
+    step = _make_step_fn(cfg, rectK, baseline)
+    return jax.jit(jax.vmap(step))
+
+
+def make_batched_bootstrap(cfg: StereoVoConfig, rectK, baseline: float):
+    pyr_cfg = PyramidConfig(scales=cfg.pyramid_scales)
+    rectKj = jnp.asarray(rectK, jnp.float64)
+
+    def boot(state: StereoVoState, left, right):
+        left = left.astype(jnp.float32)
+        pyramid = pyramid_ops.pyramid_average(left, pyr_cfg)
+        grads = pyramid_ops.gradient(pyramid)
+        return _spawn(state, pyramid, grads, left,
+                      right.astype(jnp.float32), rectKj, baseline, cfg)
+
+    return jax.jit(jax.vmap(boot))
+
+
+def make_batched_sequence_runner(cfg: StereoVoConfig, rectK,
+                                 baseline: float,
+                                 shared_frames: bool = False):
+    """Throughput x throughput: lax.scan over frames OF the vmapped
+    B-stream step — one dispatch runs T frames x B streams.
+
+    run(states, lefts [T,B,H,W], rights [T,B,H,W]) ->
+    (states, ((Rs [T,B,3,3], ts [T,B,3]), metrics)).
+
+    ``shared_frames=True`` takes lefts/rights as [T, H, W] and broadcasts
+    each frame across the B streams inside the program (benchmark /
+    dataset-replay mode: one HBM copy of the sequence, B-fold compute).
+    """
+    step = _make_step_fn(cfg, rectK, baseline)
+    vstep = jax.vmap(step)
+
+    @jax.jit
+    def run(states: StereoVoState, lefts, rights):
+        B = states.xs.shape[0]
+
+        def body(s, lr):
+            l, r = lr
+            if shared_frames:
+                l = jnp.broadcast_to(l, (B,) + l.shape)
+                r = jnp.broadcast_to(r, (B,) + r.shape)
+            s, m = vstep(s, l, r)
+            return s, (s.R, s.t, m)
+
+        states, (Rs, ts, ms) = jax.lax.scan(body, states, (lefts, rights),
+                                            unroll=2)
+        return states, ((Rs, ts), ms)
+
+    return run
+
+
 def make_bootstrap(cfg: StereoVoConfig, rectK, baseline: float):
     """Jitted first-frame initializer (one compile, zero per-op dispatch —
     critical on remote-compile TPU backends where every unjitted op pays a

@@ -83,3 +83,103 @@ def test_circle_hexagonal_grid_centers():
 def test_square_grid_rejects_wrong_count():
     img = render_square_grid(2, 2)
     assert calib_targets.detect_square_grid(img, 3, 4) is None
+
+
+# ---------------------------------------------------------------------------
+# round-4: connectivity ellipse-lattice growth — oblique + occluded
+# ---------------------------------------------------------------------------
+
+def _tilt_homography(h, w, shrink=0.5):
+    """Plane->image homography foreshortening the right edge to ``shrink``
+    of full height (a >=45-degree out-of-plane tilt)."""
+    import jax.numpy as jnp
+    from boofcv_tpu.geo import epipolar
+    src = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+    dy = h * (1 - shrink) / 2
+    dst = np.array([[15, 10], [w - 25, 10 + dy],
+                    [w - 30, h - 10 - dy], [18, h - 6]], np.float64)
+    H = np.asarray(epipolar.homography_dlt(jnp.asarray(src[None]),
+                                           jnp.asarray(dst[None])))[0]
+    return H
+
+
+def _warp_target(img, H):
+    import jax.numpy as jnp
+    from boofcv_tpu.ip import distort
+    Hinv = np.linalg.inv(H)
+    out = distort.warp_homography(jnp.asarray(img), jnp.asarray(Hinv),
+                                  fill_value=220.0)
+    return np.asarray(out)
+
+
+def _apply_h(H, pts_xy):
+    p = np.c_[pts_xy, np.ones(len(pts_xy))] @ H.T
+    return p[:, :2] / p[:, 2:]
+
+
+def test_circle_regular_grid_oblique_with_occlusion():
+    rows, cols, pitch, r0 = 5, 6, 30, 8
+    centers = [(30 + r * pitch, 30 + c * pitch)
+               for r in range(rows) for c in range(cols)]
+    img = render_circles(centers, r0, 190, 220)
+    # occlude two interior circles
+    occ = [(1, 2), (3, 4)]
+    for (rr, cc) in occ:
+        cy, cx = 30 + rr * pitch, 30 + cc * pitch
+        img[cy - r0 - 2:cy + r0 + 3, cx - r0 - 2:cx + r0 + 3] = 220.0
+    H = _tilt_homography(190, 220, shrink=0.5)
+    warped = _warp_target(img, H)
+
+    res = calib_targets.detect_circle_regular_grid_auto(warped)
+    assert res is not None
+    grid, mask = res
+    assert mask.shape in ((rows, cols), (cols, rows)), mask.shape
+    assert mask.sum() == rows * cols - len(occ)
+    # every found center within tolerance of a projected true center
+    exp = _apply_h(H, np.array([(x, y) for (y, x) in centers]))
+    got = grid[mask]
+    d = np.linalg.norm(got[:, None, :] - exp[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 2.5).all(), d.min(axis=1).max()
+
+
+def test_circle_hexagonal_grid_oblique_with_occlusion():
+    rows, cols, pitch = 5, 7, 36
+    centers = []
+    idx = []
+    for r in range(rows):
+        for c in range(cols):
+            if (r + c) % 2 == 0:
+                centers.append((30 + r * pitch * 0.55,
+                                30 + c * pitch * 0.5))
+                idx.append((r, c))
+    img = render_circles(centers, 8, 170, 190)
+    occ = [(1, 1), (2, 4)]
+    for (rr, cc) in occ:
+        cy = 30 + rr * pitch * 0.55
+        cx = 30 + cc * pitch * 0.5
+        img[int(cy) - 10:int(cy) + 11, int(cx) - 10:int(cx) + 11] = 220.0
+    H = _tilt_homography(170, 190, shrink=0.52)
+    warped = _warp_target(img, H)
+
+    res = calib_targets.detect_circle_hexagonal_grid_auto(warped)
+    assert res is not None
+    assert len(res["points"]) == len(centers) - len(occ)
+    assert {res["rows"], res["cols"]} == {rows, cols}
+    exp = _apply_h(H, np.array([(x, y) for (y, x) in centers]))
+    got = np.array([(x, y) for _, _, x, y in res["points"]])
+    d = np.linalg.norm(got[:, None, :] - exp[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 2.5).all(), d.min(axis=1).max()
+
+
+def test_circle_regular_grid_fixed_api_uses_connectivity_when_oblique():
+    rows, cols, pitch, r0 = 4, 5, 32, 8
+    centers = [(30 + r * pitch, 30 + c * pitch)
+               for r in range(rows) for c in range(cols)]
+    img = render_circles(centers, r0, 160, 200)
+    H = _tilt_homography(160, 200, shrink=0.55)
+    warped = _warp_target(img, H)
+    pts = calib_targets.detect_circle_regular_grid(warped, rows, cols)
+    assert pts is not None and pts.shape == (rows * cols, 2)
+    exp = _apply_h(H, np.array([(x, y) for (y, x) in centers]))
+    d = np.linalg.norm(pts[:, None, :] - exp[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 2.5).all()

@@ -103,3 +103,71 @@ def test_sequence_runner_matches_stepwise(vo_run):
     assert np.allclose(np.asarray(Rs), np.stack(Rs_ref), atol=1e-12)
     assert np.allclose(np.asarray(ts), np.stack(ts_ref), atol=1e-12)
     assert (np.asarray(s2.alive) == np.asarray(s.alive)).all()
+
+
+def test_batched_vo_matches_single_stream():
+    """make_batched_step: B identical streams (same seed) must reproduce
+    the single-stream trajectory exactly; distinct seeds must all track."""
+    rng = np.random.default_rng(1)
+    poses = make_forward_trajectory(n_frames=5)
+    frames = simulate.render_stereo_sequence(rng, K, BASELINE, poses, H, W)
+    cfg = stereo_vo.StereoVoConfig(
+        num_tracks=256, pyramid_scales=(1, 2, 4), max_disparity=48,
+        ransac_hypotheses=192, detect_radius=4)
+
+    # single stream
+    s1 = stereo_vo.init_state(cfg, H, W, seed=0)
+    boot = stereo_vo.make_bootstrap(cfg, K, BASELINE)
+    step = stereo_vo.make_step(cfg, K, BASELINE)
+    s1 = boot(s1, jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]))
+    traj1 = []
+    for l, r in frames[1:]:
+        s1, m = step(s1, jnp.asarray(l), jnp.asarray(r))
+        traj1.append(np.asarray(s1.t))
+
+    # batched: stream 0 = same seed/frames, stream 1 = same frames with
+    # a different RANSAC seed
+    B = 2
+    sb = stereo_vo.init_batched_state(cfg, B, H, W, seed=0)
+    bboot = stereo_vo.make_batched_bootstrap(cfg, K, BASELINE)
+    bstep = stereo_vo.make_batched_step(cfg, K, BASELINE)
+    l0 = jnp.broadcast_to(jnp.asarray(frames[0][0]), (B, H, W))
+    r0 = jnp.broadcast_to(jnp.asarray(frames[0][1]), (B, H, W))
+    sb = bboot(sb, l0, r0)
+    trajb = []
+    for l, r in frames[1:]:
+        lb = jnp.broadcast_to(jnp.asarray(l), (B, H, W))
+        rb = jnp.broadcast_to(jnp.asarray(r), (B, H, W))
+        sb, mb = bstep(sb, lb, rb)
+        trajb.append(np.asarray(sb.t))
+
+    for t1, tb in zip(traj1, trajb):
+        # not bitwise: vmap changes XLA fusion/reduction order; the
+        # same-seed stream must still agree to numerical noise
+        assert np.allclose(tb[0], t1, atol=1e-4), (t1, tb[0])
+        # stream 1 (different key) also tracks the same motion
+        assert np.linalg.norm(tb[1] - t1) < 0.05
+
+
+def test_batched_sequence_runner_shapes():
+    rng = np.random.default_rng(2)
+    poses = make_forward_trajectory(n_frames=4)
+    frames = simulate.render_stereo_sequence(rng, K, BASELINE, poses, H, W)
+    cfg = stereo_vo.StereoVoConfig(
+        num_tracks=128, pyramid_scales=(1, 2), max_disparity=32,
+        ransac_hypotheses=128, detect_radius=4)
+    B = 3
+    sb = stereo_vo.init_batched_state(cfg, B, H, W)
+    bboot = stereo_vo.make_batched_bootstrap(cfg, K, BASELINE)
+    l0 = jnp.broadcast_to(jnp.asarray(frames[0][0]), (B, H, W))
+    r0 = jnp.broadcast_to(jnp.asarray(frames[0][1]), (B, H, W))
+    sb = bboot(sb, l0, r0)
+    run = stereo_vo.make_batched_sequence_runner(cfg, K, BASELINE)
+    T = len(frames) - 1
+    lefts = jnp.stack([jnp.broadcast_to(jnp.asarray(l), (B, H, W))
+                       for l, _ in frames[1:]])
+    rights = jnp.stack([jnp.broadcast_to(jnp.asarray(r), (B, H, W))
+                        for _, r in frames[1:]])
+    sb, ((Rs, ts), ms) = run(sb, lefts, rights)
+    assert Rs.shape == (T, B, 3, 3) and ts.shape == (T, B, 3)
+    assert bool(ms["pose_ok"].all())
