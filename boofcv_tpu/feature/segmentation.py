@@ -138,32 +138,57 @@ def watershed(image, markers):
     Returns label image (every pixel assigned to a marker basin).
     """
     img = jnp.asarray(image, jnp.float32)
-    lab = jnp.asarray(markers, jnp.int32)
-    h, w = img.shape
+    lab0 = jnp.asarray(markers, jnp.int32)
     big = jnp.float32(3.4e38)
 
-    def one_round(state):
-        lab, _ = state
-        # each unlabeled pixel takes the label of its lowest labeled
-        # neighbor whose height <= its own "reachable" level; simplified
-        # flood: repeatedly label pixels adjacent to labeled ones,
-        # processing in height order via (height, labeled) priority
-        best_lab = jnp.zeros_like(lab)
-        best_h = jnp.full_like(img, big)
+    # Minimax-path flood (image foresting transform with max-arc cost):
+    # each pixel joins the seed reachable over the LOWEST pass height
+    # reach[p] = min over paths of max height along the path.  A parallel
+    # fixpoint of Bellman-Ford-style relaxations — order-independent,
+    # unlike a BFS race where a near seed's front can cross a ridge
+    # before a far seed's front arrives (the failure mode of the naive
+    # propagate-per-round formulation).  Equivalent basin assignment to
+    # the reference's height-ordered Vincent-Soille flood.
+    reach0 = jnp.where(lab0 > 0, img, big)
+
+    def relax(state):
+        lab, reach, _ = state
+        best_lab, best_reach = lab, reach
         for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-            nl = jnp.roll(lab, (dy, dx), (0, 1))
-            nh = jnp.roll(img, (dy, dx), (0, 1))
-            better = (nl > 0) & (nh < best_h)
+            nl = jnp.roll(best_lab, (dy, dx), (0, 1))
+            nr = jnp.roll(best_reach, (dy, dx), (0, 1))
+            # off-edge wrap: neutralize by making the wrapped lane +inf
+            if dy == 1:
+                nr = nr.at[0, :].set(big)
+            if dy == -1:
+                nr = nr.at[-1, :].set(big)
+            if dx == 1:
+                nr = nr.at[:, 0].set(big)
+            if dx == -1:
+                nr = nr.at[:, -1].set(big)
+            cand = jnp.maximum(nr, img)
+            better = (nl > 0) & (cand < best_reach)
             best_lab = jnp.where(better, nl, best_lab)
-            best_h = jnp.where(better, nh, best_h)
-        take = (lab == 0) & (best_lab > 0)
-        new_lab = jnp.where(take, best_lab, lab)
-        return new_lab, jnp.any(take)
+            best_reach = jnp.where(better, cand, best_reach)
+        # seeds never change owner
+        best_lab = jnp.where(lab0 > 0, lab0, best_lab)
+        best_reach = jnp.where(lab0 > 0, reach0, best_reach)
+        return best_lab, best_reach, (best_lab != lab) \
+            | (best_reach != reach)
+
+    def body(state):
+        lab, reach, _ = state
+        changed = jnp.zeros_like(lab, dtype=bool)
+        for _ in range(8):          # amortize the while condition
+            lab, reach, ch = relax((lab, reach, changed))
+            changed = changed | ch
+        return lab, reach, jnp.any(changed)
 
     def cond(state):
-        return state[1]
+        return state[2]
 
-    lab, _ = lax.while_loop(cond, one_round, (lab, jnp.asarray(True)))
+    lab, _, _ = lax.while_loop(
+        cond, body, (lab0, reach0, jnp.asarray(True)))
     return lab
 
 

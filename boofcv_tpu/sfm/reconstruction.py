@@ -164,63 +164,93 @@ def reconstruct_incremental(graph: PairwiseGraph, K, ba_iterations: int = 15,
         feat_to_point[(b, ib[i])] = pid
 
     # --- grow (estimateAllFeatures :402)
+    # Bookkeeping is ARRAY-based so 50+ view graphs stay fast: per-view
+    # int arrays feature -> point id (-1 = unmapped) replace the former
+    # per-observation dict scans (which were O(views x edges x matches)
+    # Python work per growth step), and the 2D-3D RANSAC pads its inputs
+    # to power-of-two buckets so XLA compiles O(log N) programs, not one
+    # per view.
+    point_of_feat = [np.full(len(f.xs), -1, np.int64)
+                     for f in graph.features]
+    for (v, fi), pid in feat_to_point.items():
+        point_of_feat[v][fi] = pid
+    edges_by_view: Dict[int, list] = {}
+    for (x, y), e in graph.edges.items():
+        edges_by_view.setdefault(x, []).append((x, y, e))
+        edges_by_view.setdefault(y, []).append((x, y, e))
+
+    def correspondences(v):
+        """All (point id, own feature idx) links from registered views."""
+        pid_list, own_list = [], []
+        for x, y, e in edges_by_view.get(v, ()):
+            if x == v and y in poses:
+                known, own = e.matches_b[e.inliers], e.matches_a[e.inliers]
+                kv = y
+            elif y == v and x in poses:
+                known, own = e.matches_a[e.inliers], e.matches_b[e.inliers]
+                kv = x
+            else:
+                continue
+            pids = point_of_feat[kv][known]
+            has = pids >= 0
+            pid_list.append(pids[has])
+            own_list.append(own[has])
+        if not pid_list:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(pid_list), np.concatenate(own_list)
+
     key = jax.random.PRNGKey(seed)
     remaining = set(range(len(graph.features))) - set(poses)
     while remaining:
-        # image with most 2D-3D correspondences through graph edges
-        best_view, best_pairs = None, []
+        best_view, best_pairs = None, (np.zeros(0, np.int64),) * 2
         for v in remaining:
-            pairs = []
-            for (x, y), e in graph.edges.items():
-                if x == v and y in poses:
-                    known, own = e.matches_b, e.matches_a
-                    kv = y
-                elif y == v and x in poses:
-                    known, own = e.matches_a, e.matches_b
-                    kv = x
-                else:
-                    continue
-                for mi in np.nonzero(e.inliers)[0]:
-                    pid = feat_to_point.get((kv, known[mi]))
-                    if pid is not None:
-                        pairs.append((pid, own[mi]))
-            if len(pairs) > len(best_pairs):
-                best_view, best_pairs = v, pairs
-        if best_view is None or len(best_pairs) < 6:
+            pids, own = correspondences(v)
+            if len(pids) > len(best_pairs[0]):
+                best_view, best_pairs = v, (pids, own)
+        pids, fidx = best_pairs
+        if best_view is None or len(pids) < 6:
             break  # disconnected remainder
-        pids = np.array([p for p, _ in best_pairs])
-        fidx = np.array([f for _, f in best_pairs])
         world = np.stack([point_xyz[p] for p in pids])
         obs = norm_coords(best_view, fidx)
         key, sub = jax.random.split(key)
-        res, (R, t) = robust.ransac_pnp(sub, jnp.asarray(world),
-                                        jnp.asarray(obs),
+        # pad to the next power-of-two bucket (few distinct compiles)
+        n_obs = len(pids)
+        cap = 1 << int(np.ceil(np.log2(max(n_obs, 8))))
+        world_p = np.zeros((cap, 3))
+        world_p[:n_obs] = world
+        obs_p = np.zeros((cap, 2))
+        obs_p[:n_obs] = obs
+        mask = np.zeros(cap, bool)
+        mask[:n_obs] = True
+        res, (R, t) = robust.ransac_pnp(sub, jnp.asarray(world_p),
+                                        jnp.asarray(obs_p),
                                         num_hypotheses=256,
-                                        inlier_threshold=2e-5)
+                                        inlier_threshold=2e-5,
+                                        valid_mask=jnp.asarray(mask))
         R, t = np.asarray(R), np.asarray(t)
         poses[best_view] = (R, t)
         remaining.discard(best_view)
         # register this view's observations of existing points
-        inl = np.asarray(res.inliers)
+        inl = np.asarray(res.inliers)[:n_obs]
         for i in np.nonzero(inl)[0]:
             obs_of_point[pids[i]].append((best_view, fidx[i], obs[i]))
-            feat_to_point[(best_view, fidx[i])] = pids[i]
+        point_of_feat[best_view][fidx[inl]] = pids[inl]
         # triangulate brand-new tracks with already-registered views
-        for (x, y), e in graph.edges.items():
-            if x in poses and y in poses and (x == best_view or y == best_view):
+        for x, y, e in edges_by_view.get(best_view, ()):
+            if x in poses and y in poses:
                 Rx, tx = poses[x]
                 Ry, ty = poses[y]
                 # relative pose x->y
                 Rrel = Ry @ Rx.T
                 trel = ty - Rrel @ tx
-                mi = np.nonzero(e.inliers)[0]
-                new = [i for i in mi
-                       if (x, e.matches_a[i]) not in feat_to_point
-                       and (y, e.matches_b[i]) not in feat_to_point]
-                if not new:
+                ia_all = e.matches_a[e.inliers]
+                ib_all = e.matches_b[e.inliers]
+                fresh = (point_of_feat[x][ia_all] < 0) \
+                    & (point_of_feat[y][ib_all] < 0)
+                if not fresh.any():
                     continue
-                ia = e.matches_a[new]
-                ib = e.matches_b[new]
+                ia = ia_all[fresh]
+                ib = ib_all[fresh]
                 na = norm_coords(x, ia)
                 nb = norm_coords(y, ib)
                 Xl = np.asarray(triangulate.triangulate_two_view_linear(
@@ -229,14 +259,16 @@ def reconstruct_incremental(graph: PairwiseGraph, K, ba_iterations: int = 15,
                 # to world: X_w = Rx^T (X_x - tx)
                 Xw = (Xl - tx) @ Rx
                 zok = Xl[:, 2] > 0
-                for i in range(len(new)):
-                    if not zok[i]:
-                        continue
-                    pid = len(point_xyz)
-                    point_xyz.append(Xw[i])
-                    obs_of_point.append([(x, ia[i], na[i]), (y, ib[i], nb[i])])
-                    feat_to_point[(x, ia[i])] = pid
-                    feat_to_point[(y, ib[i])] = pid
+                base = len(point_xyz)
+                new_ids = np.full(len(ia), -1, np.int64)
+                new_ids[zok] = base + np.arange(int(zok.sum()))
+                point_xyz.extend(Xw[zok])
+                obs_of_point.extend(
+                    [(x, iai, nai), (y, ibi, nbi)]
+                    for iai, nai, ibi, nbi in zip(
+                        ia[zok], na[zok], ib[zok], nb[zok]))
+                point_of_feat[x][ia[zok]] = new_ids[zok]
+                point_of_feat[y][ib[zok]] = new_ids[zok]
 
     # --- final BA (convertToOutput :240 + bundleSparseMetric)
     views = sorted(poses)

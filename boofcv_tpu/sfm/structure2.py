@@ -216,6 +216,36 @@ def _triple_correspondences(g: PairwiseGraph2, va, vb, vc):
     return triples
 
 
+def _metric_graph_from_edges(g: PairwiseGraph2, K):
+    """Derive the v1 metric pairwise graph (relative poses) from the
+    structure2 graph's OWN fundamental matrices: E = K^T F K, decompose,
+    cheirality-select on the inlier matches.  Skips the former second
+    all-pairs matching + per-pair essential-RANSAC pass entirely (the
+    50-view scaling wall)."""
+    from boofcv_tpu.geo import epipolar
+
+    K = np.asarray(K, np.float64)
+    Kinv = np.linalg.inv(K)
+    graph = reconstruction.PairwiseGraph(g.features)
+    for (a, b), e in g.edges.items():
+        inl = e.f_inliers
+        if inl.sum() < 16:
+            continue
+        fa, fb = g.features[a], g.features[b]
+        pa = np.stack([fa.xs[e.src], fa.ys[e.src], np.ones(len(e.src))], 1)
+        pb = np.stack([fb.xs[e.dst], fb.ys[e.dst], np.ones(len(e.dst))], 1)
+        na = (pa @ Kinv.T)[:, :2]
+        nb = (pb @ Kinv.T)[:, :2]
+        E = K.T @ e.F @ K
+        R4, t4 = epipolar.decompose_essential(jnp.asarray(E))
+        R, t, _ = epipolar.select_pose_cheirality(
+            R4, t4, jnp.asarray(na[inl]), jnp.asarray(nb[inl]))
+        graph.edges[(a, b)] = reconstruction.PairwiseEdge(
+            a, b, e.src, e.dst, inl, np.asarray(R), np.asarray(t),
+            int(inl.sum()))
+    return graph
+
+
 def reconstruct_uncalibrated(images, max_features: int = 300, detect=None,
                              ba_iterations: int = 20, seed: int = 0):
     """Full uncalibrated pipeline: pairwise graph with F/H model scores
@@ -243,12 +273,10 @@ def reconstruct_uncalibrated(images, max_features: int = 300, detect=None,
     K = np.array([[f0, 0.0, (w - 1) / 2.0],
                   [0.0, f0, (h - 1) / 2.0], [0.0, 0.0, 1.0]])
 
-    # calibrated incremental growth with the self-calibrated K (reuses
-    # the proven v1 machinery on the SAME features)
-    feats = g.features
-    it = iter(feats)
-    g1 = reconstruction.build_pairwise_graph(
-        images, K, detect=lambda im: next(it))
+    # calibrated incremental growth with the self-calibrated K — the v1
+    # metric graph is derived straight from the already-estimated F's
+    # and inlier sets (no second matching pass)
+    g1 = _metric_graph_from_edges(g, K)
     scene = reconstruction.reconstruct_incremental(
         g1, K, ba_iterations=ba_iterations, seed=seed + 1)
 

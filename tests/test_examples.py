@@ -36,6 +36,12 @@ EXAMPLES = [
     "morphological_thinning",
     "equirectangular_views",
     "color_histogram_lookup",
+    "visual_odometry_depth",
+    "visual_odometry_mono_plane",
+    "stereo_disparity_3d",
+    "trifocal_uncalibrated_stereo",
+    "wavelet_denoise",
+    "watershed_with_seeds",
 ]
 
 
