@@ -42,6 +42,11 @@ EXAMPLES = [
     "trifocal_uncalibrated_stereo",
     "wavelet_denoise",
     "watershed_with_seeds",
+    "stereo_calibration",
+    "create_qr_document",
+    "fit_shapes",
+    "segment_graph_fh04",
+    "dense_image_features",
 ]
 
 
