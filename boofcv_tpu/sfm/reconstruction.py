@@ -119,6 +119,28 @@ def build_pairwise_graph(images, K, max_features: int = 300,
     return graph
 
 
+@jax.jit
+def _tri2_jit(na, nb, R, t):
+    return triangulate.triangulate_two_view_linear(na, nb, R, t)
+
+
+def _tri2_padded(na, nb, R, t):
+    """Two-view triangulation through a jitted kernel with power-of-two
+    padding: O(log N) distinct compiles instead of one eager ~100 ms op
+    chain per call (the growth loop triangulates per edge per step)."""
+    n = len(na)
+    cap = 1 << int(np.ceil(np.log2(max(n, 8))))
+    na_p = np.zeros((cap, 2))
+    nb_p = np.zeros((cap, 2))
+    na_p[:n] = na
+    nb_p[:n] = nb
+    na_p[n:] = [0.1, 0.1]        # benign dummies (any finite rays)
+    nb_p[n:] = [0.12, 0.1]
+    X = _tri2_jit(jnp.asarray(na_p), jnp.asarray(nb_p), jnp.asarray(R),
+                  jnp.asarray(t))
+    return np.asarray(X)[:n]
+
+
 def reconstruct_incremental(graph: PairwiseGraph, K, ba_iterations: int = 15,
                             seed: int = 1):
     """Incremental metric growth + final BA (EstimateSceneCalibrated).
@@ -150,9 +172,7 @@ def reconstruct_incremental(graph: PairwiseGraph, K, ba_iterations: int = 15,
     ib = seed_edge.matches_b[seed_edge.inliers]
     na = norm_coords(a, ia)
     nb = norm_coords(b, ib)
-    X = np.asarray(triangulate.triangulate_two_view_linear(
-        jnp.asarray(na), jnp.asarray(nb), jnp.asarray(seed_edge.R),
-        jnp.asarray(seed_edge.t)))
+    X = _tri2_padded(na, nb, seed_edge.R, seed_edge.t)
     good = X[:, 2] > 0
     for i in range(len(X)):
         if not good[i]:
@@ -253,9 +273,7 @@ def reconstruct_incremental(graph: PairwiseGraph, K, ba_iterations: int = 15,
                 ib = ib_all[fresh]
                 na = norm_coords(x, ia)
                 nb = norm_coords(y, ib)
-                Xl = np.asarray(triangulate.triangulate_two_view_linear(
-                    jnp.asarray(na), jnp.asarray(nb), jnp.asarray(Rrel),
-                    jnp.asarray(trel)))
+                Xl = _tri2_padded(na, nb, Rrel, trel)
                 # to world: X_w = Rx^T (X_x - tx)
                 Xw = (Xl - tx) @ Rx
                 zok = Xl[:, 2] > 0

@@ -216,33 +216,71 @@ def _triple_correspondences(g: PairwiseGraph2, va, vb, vc):
     return triples
 
 
+@jax.jit
+def _poses_from_essentials(E_mats, na, nb, mask):
+    """Vmapped essential decomposition + masked cheirality selection for
+    a BATCH of edges: E_mats [M, 3, 3], na/nb [M, N, 2] normalized
+    coords (padded), mask [M, N].  Returns (R [M, 3, 3], t [M, 3])."""
+    from boofcv_tpu.geo import epipolar
+    from boofcv_tpu.geo.triangulate import triangulate_two_view_linear
+
+    def one(E, p1, p2, m):
+        R4, t4 = epipolar.decompose_essential(E)
+
+        def count(R, t):
+            X = triangulate_two_view_linear(p1, p2, R, t)
+            z1 = X[..., 2]
+            z2 = (X @ R.T + t)[..., 2]
+            return jnp.sum((z1 > 0) & (z2 > 0) & m)
+
+        counts = jax.vmap(count)(R4, t4)
+        best = jnp.argmax(counts)
+        return R4[best], t4[best]
+
+    return jax.vmap(one)(E_mats, na, nb, mask)
+
+
 def _metric_graph_from_edges(g: PairwiseGraph2, K):
     """Derive the v1 metric pairwise graph (relative poses) from the
     structure2 graph's OWN fundamental matrices: E = K^T F K, decompose,
-    cheirality-select on the inlier matches.  Skips the former second
-    all-pairs matching + per-pair essential-RANSAC pass entirely (the
-    50-view scaling wall)."""
-    from boofcv_tpu.geo import epipolar
-
+    cheirality-select on the inlier matches — ONE vmapped program over
+    all edges (the per-edge eager chain cost ~110 ms/edge).  Skips the
+    former second all-pairs matching + per-pair essential-RANSAC pass
+    entirely (the 50-view scaling wall)."""
     K = np.asarray(K, np.float64)
     Kinv = np.linalg.inv(K)
     graph = reconstruction.PairwiseGraph(g.features)
-    for (a, b), e in g.edges.items():
+    items = [((a, b), e) for (a, b), e in g.edges.items()
+             if e.f_inliers.sum() >= 16]
+    if not items:
+        return graph
+    nmax = max(int(e.f_inliers.sum()) for _, e in items)
+    M = len(items)
+    na_all = np.zeros((M, nmax, 2))
+    nb_all = np.zeros((M, nmax, 2))
+    mask_all = np.zeros((M, nmax), bool)
+    E_all = np.zeros((M, 3, 3))
+    for i, ((a, b), e) in enumerate(items):
         inl = e.f_inliers
-        if inl.sum() < 16:
-            continue
         fa, fb = g.features[a], g.features[b]
-        pa = np.stack([fa.xs[e.src], fa.ys[e.src], np.ones(len(e.src))], 1)
-        pb = np.stack([fb.xs[e.dst], fb.ys[e.dst], np.ones(len(e.dst))], 1)
-        na = (pa @ Kinv.T)[:, :2]
-        nb = (pb @ Kinv.T)[:, :2]
-        E = K.T @ e.F @ K
-        R4, t4 = epipolar.decompose_essential(jnp.asarray(E))
-        R, t, _ = epipolar.select_pose_cheirality(
-            R4, t4, jnp.asarray(na[inl]), jnp.asarray(nb[inl]))
+        src, dst = e.src[inl], e.dst[inl]
+        pa = np.stack([fa.xs[src], fa.ys[src], np.ones(len(src))], 1)
+        pb = np.stack([fb.xs[dst], fb.ys[dst], np.ones(len(dst))], 1)
+        k = len(src)
+        na_all[i, :k] = (pa @ Kinv.T)[:, :2]
+        nb_all[i, :k] = (pb @ Kinv.T)[:, :2]
+        mask_all[i, :k] = True
+        E_all[i] = K.T @ e.F @ K
+    Rb, tb = _poses_from_essentials(jnp.asarray(E_all),
+                                    jnp.asarray(na_all),
+                                    jnp.asarray(nb_all),
+                                    jnp.asarray(mask_all))
+    Rb = np.asarray(Rb)
+    tb = np.asarray(tb)
+    for i, ((a, b), e) in enumerate(items):
         graph.edges[(a, b)] = reconstruction.PairwiseEdge(
-            a, b, e.src, e.dst, inl, np.asarray(R), np.asarray(t),
-            int(inl.sum()))
+            a, b, e.src, e.dst, e.f_inliers, Rb[i], tb[i],
+            int(e.f_inliers.sum()))
     return graph
 
 
