@@ -146,7 +146,7 @@ def _project_all(params, world_xy, n_views):
     return jax.vmap(one_view)(xis)
 
 
-def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
+def _calibrate_mono_planar_impl(world_xy, obs, iterations: int = 30,
                           zero_skew: bool = True,
                           obs_mask=None) -> CalibrationResult:
     """Full Zhang99 pipeline (CalibrateMonoPlanar.process:160).
@@ -281,7 +281,7 @@ def _project_all_omni(params, world_xy, n_views):
     return jax.vmap(one_view)(p6s)
 
 
-def calibrate_mono_omni(world_xy, obs, iterations: int = 40,
+def _calibrate_mono_omni_impl(world_xy, obs, iterations: int = 40,
                         zero_skew: bool = True,
                         mirror_inits=(0.0, 0.5, 1.0, 1.5)):
     """Zhang99 with the universal-omni (fisheye) camera
@@ -395,3 +395,31 @@ def calibrate_stereo_planar(world_xy, obs_left, obs_right,
     Rmean = np.asarray(se3.project_to_so3(jnp.asarray(np.mean(Rs, axis=0))))
     tmean = np.mean(ts, axis=0)
     return left, right, Rmean, tmean
+
+
+def calibrate_mono_planar(world_xy, obs, iterations: int = 30,
+                          zero_skew: bool = True,
+                          obs_mask=None) -> CalibrationResult:
+    """Full Zhang99 pipeline (CalibrateMonoPlanar.process:160) — see
+    ``_calibrate_mono_planar_impl`` for the algorithm.
+
+    Device routing: the whole solve (a few-hundred-parameter f64 GN on
+    tiny matrices) runs on the HOST CPU device even when a TPU is
+    attached — f64 is software-emulated on TPU and the problem has no
+    batch parallelism to feed the MXU (measured: 4.6 s on chip vs
+    ~0.7 s host for 12 views x 48 corners).  Calibration is an offline
+    setup step; the TPU is for the per-frame pipelines it parameterizes.
+    """
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _calibrate_mono_planar_impl(world_xy, obs, iterations,
+                                           zero_skew, obs_mask)
+
+
+def calibrate_mono_omni(world_xy, obs, iterations: int = 40,
+                        zero_skew: bool = True,
+                        mirror_inits=(0.0, 0.5, 1.0, 1.5)):
+    """Universal-omni Zhang99 (see ``_calibrate_mono_omni_impl``); host
+    CPU routed like :func:`calibrate_mono_planar`."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _calibrate_mono_omni_impl(world_xy, obs, iterations,
+                                         zero_skew, mirror_inits)
