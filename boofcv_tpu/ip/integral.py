@@ -50,6 +50,62 @@ def block_sum(ii: jnp.ndarray, x0, y0, x1, y1) -> jnp.ndarray:
     return br + tl - tr - bl
 
 
+def _shift_static(ii: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """II sampled at (y+dy, x+dx) for EVERY pixel with _sample's border
+    semantics (implicit zeros above/left, clamp below/right) — pure
+    pad+slice.  The gather formulation (ii[yc, xc] with full [H, W]
+    index grids) serializes on TPU; static shifts compile to copies."""
+    h, w = ii.shape
+    if dy >= 0:
+        out = jnp.pad(ii, ((0, dy), (0, 0)), mode="edge")[dy:dy + h]
+    else:
+        out = jnp.pad(ii, ((-dy, 0), (0, 0)))[:h]
+    if dx >= 0:
+        out = jnp.pad(out, ((0, 0), (0, dx)), mode="edge")[:, dx:dx + w]
+    else:
+        out = jnp.pad(out, ((0, 0), (-dx, 0)))[:, :w]
+    return out
+
+
+def block_sum_grid(ii: jnp.ndarray, x0: int, y0: int, x1: int,
+                   y1: int) -> jnp.ndarray:
+    """block_sum evaluated at every pixel: corner coordinates are STATIC
+    offsets relative to the pixel (x0..y1 ints).  Returns [H, W]."""
+    br = _shift_static(ii, y1, x1)
+    tl = _shift_static(ii, y0 - 1, x0 - 1)
+    tr = _shift_static(ii, y0 - 1, x1)
+    bl = _shift_static(ii, y1, x0 - 1)
+    return br + tl - tr - bl
+
+
+def deriv_xx_grid(ii: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Whole-image deriv_xx (same filter layout, static shifts)."""
+    b = size // 3
+    r = size // 2
+    hy = (2 * b - 1) // 2
+    total = block_sum_grid(ii, -r, -hy, r, hy)
+    mid = block_sum_grid(ii, -(b // 2), -hy, -(b // 2) + b - 1, hy)
+    return total - 3.0 * mid
+
+
+def deriv_yy_grid(ii: jnp.ndarray, size: int) -> jnp.ndarray:
+    b = size // 3
+    r = size // 2
+    hx = (2 * b - 1) // 2
+    total = block_sum_grid(ii, -hx, -r, hx, r)
+    mid = block_sum_grid(ii, -hx, -(b // 2), hx, -(b // 2) + b - 1)
+    return total - 3.0 * mid
+
+
+def deriv_xy_grid(ii: jnp.ndarray, size: int) -> jnp.ndarray:
+    b = size // 3
+    tl = block_sum_grid(ii, -b, -b, -1, -1)
+    tr = block_sum_grid(ii, 1, -b, b, -1)
+    bl = block_sum_grid(ii, -b, 1, -1, b)
+    br = block_sum_grid(ii, 1, 1, b, b)
+    return tl + br - tr - bl
+
+
 def haar_x(ii: jnp.ndarray, cy, cx, radius) -> jnp.ndarray:
     """Haar x-wavelet response at center (cy, cx): right half minus left half.
 
