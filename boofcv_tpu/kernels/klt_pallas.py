@@ -40,14 +40,43 @@ def _klt_track_kernel(image_ref, desc_ref, gx_ref, gy_ref, cy_ref, cx_ref,
     safe_det = jnp.where(det == 0, 1.0, det)
 
     def sample(cy, cx):
-        """Bilinear (P, P) patch via one (P+1, P+1) VMEM slice."""
+        """Bilinear (P, P) patch from an ALIGNED VMEM block.
+
+        Mosaic requires dynamic lane-dim (dim 1) slice offsets provably
+        128-aligned (and sublane offsets 8-aligned) — the naive
+        `image_ref[pl.ds(yi, p+1), pl.ds(xi, p+1)]` fails to lower at
+        640x480.  Load a [16, 256] block at (yi//8*8, xi//128*128)
+        (provably aligned; the min() clamps are against aligned
+        constants) and extract the (P+1, P+1) window with two one-hot
+        matmuls — tiny MXU work instead of unaligned vector loads.
+        Requires height % 8 == 0, width % 128 == 0 (the caller gates).
+        """
         y0 = jnp.floor(cy)
         x0 = jnp.floor(cx)
         fy = cy - y0
         fx = cx - x0
         yi = jnp.clip(y0.astype(jnp.int32) - radius, 0, height - p - 1)
         xi = jnp.clip(x0.astype(jnp.int32) - radius, 0, width - p - 1)
-        sl = image_ref[pl.ds(yi, p + 1), pl.ds(xi, p + 1)]
+        # the image is edge-padded by the caller so an aligned [16, 256]
+        # block starting at the tile floor of any valid (yi, xi) always
+        # fits — the offsets are then PROVABLY 8/128-aligned with no
+        # clamping (a min() against an unaligned bound reintroduces the
+        # Mosaic lowering failure)
+        bh, bw = 16, 256
+        ya = (yi // 8) * 8
+        xa = (xi // 128) * 128
+        block = image_ref[pl.ds(ya, bh), pl.ds(xa, bw)]    # [BH, BW]
+        oy = yi - ya                                       # in [0, 8)
+        ox = xi - xa                                       # in [0, BW-128+128)
+        row_pos = lax.broadcasted_iota(jnp.int32, (bh, p + 1), 0)
+        row_tgt = lax.broadcasted_iota(jnp.int32, (bh, p + 1), 1) + oy
+        row_oh = (row_pos == row_tgt).astype(jnp.float32)  # [BH, P1]
+        col_pos = lax.broadcasted_iota(jnp.int32, (bw, p + 1), 0)
+        col_tgt = lax.broadcasted_iota(jnp.int32, (bw, p + 1), 1) + ox
+        col_oh = (col_pos == col_tgt).astype(jnp.float32)  # [BW, P1]
+        sl = jnp.dot(jnp.dot(row_oh.T, block,
+                             preferred_element_type=jnp.float32),
+                     col_oh, preferred_element_type=jnp.float32)
         return ((1 - fy) * (1 - fx) * sl[:p, :p]
                 + (1 - fy) * fx * sl[:p, 1:]
                 + fy * (1 - fx) * sl[1:, :p]
@@ -83,6 +112,12 @@ def klt_level_pallas(image, desc, gx, gy, cy, cx, *, radius: int,
     h, w = image.shape
     p = 2 * radius + 1
 
+    # edge-pad so every aligned [16, 256] block load fits (see sample())
+    hp = -(-h // 8) * 8 + 16
+    wp = -(-w // 128) * 128 + 256
+    image = jnp.pad(image.astype(jnp.float32),
+                    ((0, hp - h), (0, wp - w)), mode="edge")
+
     kernel = functools.partial(
         _klt_track_kernel, radius=radius, iterations=iterations,
         height=h, width=w)
@@ -103,7 +138,7 @@ def klt_level_pallas(image, desc, gx, gy, cy, cx, *, radius: int,
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((h, w), lambda i: (0, 0),
+            pl.BlockSpec((hp, wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             patch_spec, patch_spec, patch_spec,
             scalar_spec, scalar_spec,
