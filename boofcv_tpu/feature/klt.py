@@ -212,25 +212,13 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
     r = cfg.template_radius
     h, w = image.shape
 
-    if use_pallas:
-        from boofcv_tpu.kernels.klt_pallas import klt_level_pallas
-        gxx = jnp.sum(gx * gx, axis=(1, 2))
-        gxy = jnp.sum(gx * gy, axis=(1, 2))
-        gyy = jnp.sum(gy * gy, axis=(1, 2))
-        det = gxx * gyy - gxy * gxy
-        area = (2 * r + 1) ** 2
-        ok_det = det / area >= cfg.min_determinant
-        cy, cx, per_pixel, _ = klt_level_pallas(
-            image, desc, gx, gy, cy, cx, radius=r,
-            iterations=cfg.max_iterations)
-        in_bounds = ((cy >= r) & (cy <= h - 1 - r)
-                     & (cx >= r) & (cx <= w - 1 - r))
-        fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
-        fault = jnp.where(per_pixel > cfg.max_per_pixel_error,
-                          FAULT_LARGE_ERROR, fault)
-        fault = jnp.where(~ok_det, FAULT_FAILED, fault)
-        fault = jnp.where(~in_bounds, FAULT_OUT_OF_BOUNDS, fault)
-        return cy, cx, fault
+    # NOTE r4: a fused Pallas per-track kernel (all GN iterations per
+    # launch, image in VMEM, aligned block loads + one-hot window
+    # extraction) was brought to full Mosaic lowering and measured at the
+    # production config: 11.2 ms/call vs 2.7 ms for this batched XLA
+    # path (grid-per-track hardware sequencing serializes 512 tiny
+    # programs).  The batched formulation IS the TPU-native answer, so
+    # the kernel was removed — see PROFILE.md "Pallas KLT postmortem".
 
     # Inverse-compositional: Hessian from template gradients, constant
     # across iterations (KltTracker precomputes Gxx,Gxy,Gyy at :147).
@@ -301,9 +289,8 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
     ys/xs: [N] full-resolution positions.  Returns (ys, xs, fault) — fault
     is the worst fault seen at any level (OK if all levels tracked).
     Level implementation follows cfg.method ("windowed" default — see
-    KltConfig); use_pallas=True forces the fused Pallas kernel,
-    use_pallas=False forces the per-iteration-gather XLA path (legacy
-    switch kept for the equivalence tests).
+    KltConfig; "gather" keeps the per-iteration flat-gather XLA path for
+    the equivalence tests).
     """
     n = ys.shape[0]
     fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
@@ -312,23 +299,17 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
     cx = xs / scales[-1]
     for lvl in range(num_levels - 1, -1, -1):
         s = scales[lvl]
-        if use_pallas is None and cfg.method == "pallas_fused":
-            use_pallas_lvl = True       # fused all-iterations Pallas kernel
-        elif use_pallas is None and cfg.method == "gather":
-            use_pallas_lvl = False      # per-iteration flat-gather path
-        elif use_pallas is None:        # "windowed" (default)
-            use_pallas_lvl = None
-        else:
-            use_pallas_lvl = use_pallas
-        if use_pallas_lvl is None:
+        # use_pallas=False is the legacy test switch forcing the
+        # per-iteration gather path (the fused Pallas option is gone)
+        windowed = cfg.method != "gather" if use_pallas is None else False
+        if windowed:
             cy_l, cx_l, f = _track_level_windowed(
                 pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
                 templates.grad_y[lvl], cy, cx, cfg)
         else:
             cy_l, cx_l, f = _track_level(
                 pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
-                templates.grad_y[lvl], cy, cx, cfg,
-                use_pallas=bool(use_pallas_lvl))
+                templates.grad_y[lvl], cy, cx, cfg)
         # tracks that fault keep their pre-level position (will be dropped)
         good = f == TRACK_OK
         cy = jnp.where(good, cy_l, cy)

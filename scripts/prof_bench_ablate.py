@@ -74,5 +74,5 @@ from boofcv_tpu.feature import klt as klt_mod
 run_cfg("klt_iter4", stereo_vo.StereoVoConfig(
     **base, klt=klt_mod.KltConfig(max_iterations=4)))
 
-run_cfg("klt_fused_pallas", stereo_vo.StereoVoConfig(
-    **base, klt=klt_mod.KltConfig(method="pallas_fused")))
+# (the fused-Pallas KLT kernel was measured at 11.2 ms/call vs 2.7 ms
+# windowed after the r4 alignment fix, and removed — PROFILE.md)

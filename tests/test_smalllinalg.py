@@ -88,27 +88,3 @@ def test_quartic_roots_batch_random():
         assert len(ours) >= len(np_real) - 0  # same count
         if len(np_real):
             np.testing.assert_allclose(ours[: len(np_real)], np_real, atol=1e-5)
-
-
-def test_pallas_klt_matches_xla_interpret():
-    """The fused Pallas KLT level kernel must match the XLA stage loop."""
-    import jax.numpy as jnp
-    from boofcv_tpu.kernels.klt_pallas import klt_level_pallas
-    from boofcv_tpu.feature import klt as klt_mod
-    from boofcv_tpu.ip.interpolate import sample_rect_bilinear
-    rng = np.random.default_rng(0)
-    H, W, N, r = 96, 128, 40, 3
-    img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
-    ys = jnp.asarray(rng.uniform(10, H - 10, N), jnp.float32)
-    xs = jnp.asarray(rng.uniform(10, W - 10, N), jnp.float32)
-    desc = sample_rect_bilinear(img, ys + 0.8, xs - 1.2, r)
-    gxi = jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)
-    gyi = jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)
-    gx = sample_rect_bilinear(gxi, ys + 0.8, xs - 1.2, r)
-    gy = sample_rect_bilinear(gyi, ys + 0.8, xs - 1.2, r)
-    cfg = klt_mod.KltConfig(template_radius=r, max_iterations=8)
-    cy_x, cx_x, fault = klt_mod._track_level(img, desc, gx, gy, ys, xs, cfg)
-    cy_p, cx_p, err_p, det_p = klt_level_pallas(
-        img, desc, gx, gy, ys, xs, radius=r, iterations=8, interpret=True)
-    np.testing.assert_allclose(np.asarray(cy_p), np.asarray(cy_x), atol=0.02)
-    np.testing.assert_allclose(np.asarray(cx_p), np.asarray(cx_x), atol=0.02)
