@@ -1,3 +1,5 @@
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Profile BA at the scale the PCG/sharded path exists for:
 V=1000 views / 100k points, synthesized as a BAL-format problem
 (io/bal.py round-trip), solved:
@@ -78,13 +80,17 @@ def main():
     prob = ba.make_problem(Rs, ts, pts, oxy, ov_idx, oval,
                            fixed_views=fixed, dtype=jnp.float32)
     # BAL round-trip: the problem is expressible in the interop format
+    # (BAL cameras carry 3 intrinsics -> pad; host device: write_bal's
+    # per-view log_so3 would pay a tunnel round-trip each on the TPU)
     with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as f:
         path = f.name
     t0 = time.perf_counter()
-    write_prob = prob._replace(model="normalized")
-    bal.write_bal(path, write_prob)
-    data = bal.read_bal(path)
-    print(f"# BAL round-trip ({data['num_observations']} obs): "
+    with jax.default_device(jax.devices("cpu")[0]):
+        write_prob = prob._replace(
+            intr=jnp.zeros((prob.R.shape[0], 3)), model="snavely")
+        bal.write_bal(path, write_prob)
+        data = bal.read_bal(path)
+    print(f"# BAL round-trip ({len(data['obs'])} obs): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     if not args.skip_dense:
