@@ -67,7 +67,13 @@ def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int,
     before the psum_scatter — peak memory is NOT reduced vs the cholesky
     path; what shrinks is post-reduction storage and all-reduce traffic.
     A destination-row-sharded Schur fill (ring reduce-scatter of pair
-    contributions) would cut the peak too; not yet implemented.
+    contributions) would cut the peak too — deliberately NOT built: it
+    needs an all-to-all of the W/Y factors keyed by destination view
+    (each point's track spans ~L rows), and at V<=2k the transient
+    full-S contribution is <=576 MB f32/device with the scatter
+    overlapping the solve, so the extra collective buys nothing until V
+    reaches several thousand (measured V=1000/100k: PCG parity with the
+    exact path and 2.8x its speed — PROFILE.md "BA at scale").
     Runs inside shard_map on the 1D mesh; ``axis`` is the mesh's sole
     axis name.
     """
