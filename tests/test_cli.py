@@ -124,3 +124,86 @@ def test_create_fiducial_cli_roundtrip(tmp_path):
         img = image_io.load(str(tmp_path / f"fiducial_{mid:04d}.png"))
         dets = fs.detect(img.astype(np.float32))
         assert len(dets) == 1 and dets[0]["id"] == mid
+
+
+def test_batch_remove_distortion_cli(tmp_path, capsys):
+    import jax.numpy as jnp
+    from boofcv_tpu.geo import cameras
+    from boofcv_tpu.io import calibration_io as cio, image_io, simulate
+    from boofcv_tpu.ip import distort
+    from boofcv_tpu.cli import batch_remove_distortion
+
+    H, W = 120, 160
+    cam = cameras.CameraPinholeBrown(fx=140.0, fy=140.0, cx=W / 2,
+                                     cy=H / 2, width=W, height=H,
+                                     radial=(-0.22, 0.04))
+    calib = tmp_path / "calib.yaml"
+    cio.save_pinhole_brown(cam, str(calib))
+
+    # synthesize a distorted capture of a textured plane
+    rng = np.random.default_rng(0)
+    ideal = simulate.noise_texture(rng, size=220, octaves=5)[:H, :W]
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float64),
+                          jnp.arange(W, dtype=jnp.float64), indexing="ij")
+    nx, ny = cameras.pixel_to_norm_undistorted(cam, xs, ys)
+    captured = distort.warp(jnp.asarray(ideal, jnp.float32),
+                            (ny * cam.fy + cam.cy).astype(jnp.float32),
+                            (nx * cam.fx + cam.cx).astype(jnp.float32))
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    image_io.save(str(src / "a.png"),
+                  np.clip(np.asarray(captured), 0, 255).astype(np.uint8))
+    rc = batch_remove_distortion.main([
+        "--calib", str(calib), "--input", str(src), "--output", str(dst)])
+    assert rc == 0
+    assert "undistorted 1/1" in capsys.readouterr().out
+    out = image_io.to_gray(image_io.load(str(dst / "a.png")))
+    c = np.s_[20:-20, 20:-20]
+    assert np.median(np.abs(out[c].astype(float) - ideal[c])) < 8.0
+
+
+def test_fiducial_detection_cli(tmp_path, capsys):
+    from boofcv_tpu.recognition import fiducial_square as fid
+    from boofcv_tpu.io import image_io, calibration_io as cio
+    from boofcv_tpu.geo import cameras
+    from boofcv_tpu.cli import fiducial_detection
+
+    img = fid.encode_marker(321, cells_px=12)
+    scene = np.full((200, 220), 255.0, np.float32)
+    h, w = img.shape
+    scene[40:40 + h, 60:60 + w] = img
+    d = tmp_path / "imgs"
+    d.mkdir()
+    image_io.save(str(d / "m.png"), scene.astype(np.uint8))
+    cam = cameras.CameraPinholeBrown(fx=200.0, fy=200.0, cx=110.0,
+                                     cy=100.0, width=220, height=200)
+    calib = tmp_path / "calib.yaml"
+    cio.save_pinhole_brown(cam, str(calib))
+    rc = fiducial_detection.main(["--images", str(d), "--calib",
+                                  str(calib), "--size", "0.1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "id=321" in out and "range=" in out
+    assert "found 1 fiducials" in out
+
+
+def test_create_qr_document_cli_roundtrip(tmp_path, capsys):
+    from boofcv_tpu.cli import create_qr_document
+    from boofcv_tpu.io import image_io
+    from boofcv_tpu.recognition.qr import detector
+
+    out_png = tmp_path / "doc.png"
+    rc = create_qr_document.main([
+        "--message", "CLI DOC TEST", "--message", "0123456789",
+        "--output", str(out_png)])
+    assert rc == 0
+    doc = image_io.to_gray(image_io.load(str(out_png)))
+    # scan back each half
+    W = doc.shape[1]
+    texts = []
+    for sl in (np.s_[:, :W // 2], np.s_[:, W // 2:]):
+        data, info = detector.detect_and_decode(doc[sl].astype(np.float32))
+        if data is not None:
+            texts.append(data.decode())
+    assert sorted(texts) == ["0123456789", "CLI DOC TEST"]
