@@ -35,6 +35,11 @@ class TldConfig:
     max_templates: int = 50
     scale_steps: tuple = (0.8, 1.0, 1.25)
     grid_stride: float = 0.1     # window stride as fraction of size
+    # full detection pyramid: scales 1.2^k of the INITIAL box size (the
+    # reference's TldDetection scans every level of its scale pyramid,
+    # so the detector can reacquire after large scale changes)
+    pyramid_octaves: int = 5     # k in [-octaves, +octaves]
+    max_ncc_candidates: int = 64 # fern survivors scored by NCC per frame
 
 
 @dataclass
@@ -48,6 +53,7 @@ class TldTracker:
     neg_templates: list = field(default_factory=list)
     box: tuple = None                  # (cy, cx, h, w)
     init_var: float = 0.0
+    init_size: tuple = None            # (h, w) at initialize (pyramid base)
 
     # -- patch utilities ---------------------------------------------------
     def _patch(self, image, cy, cx, h, w):
@@ -113,6 +119,7 @@ class TldTracker:
         self.posteriors_p = np.zeros((c.num_ferns, 2 ** c.fern_size))
         self.posteriors_n = np.zeros((c.num_ferns, 2 ** c.fern_size))
         self.box = (float(cy), float(cx), float(h), float(w))
+        self.init_size = (float(h), float(w))
         img = np.asarray(image, np.float32)
         y0, y1 = int(cy - h / 2), int(cy + h / 2)
         x0, x1 = int(cx - w / 2), int(cx + w / 2)
@@ -132,41 +139,86 @@ class TldTracker:
                 self._learn(image, ny, nx, h, w, False)
         self._prev_image = img.copy()      # median-flow needs a key frame
 
+    def _fern_codes_batch(self, img, cys, cxs, h, w):
+        """[M, F] fern codes for M windows of size (h, w) — vectorized
+        fancy-index sampling (the per-window Python loop was the
+        detector's wall)."""
+        H, W = img.shape
+        fp = self.fern_pairs                                  # [F, B, 2, 2]
+        y1 = np.clip(cys[:, None, None] + fp[None, :, :, 0, 0] * h,
+                     0, H - 1).astype(np.intp)
+        x1 = np.clip(cxs[:, None, None] + fp[None, :, :, 0, 1] * w,
+                     0, W - 1).astype(np.intp)
+        y2 = np.clip(cys[:, None, None] + fp[None, :, :, 1, 0] * h,
+                     0, H - 1).astype(np.intp)
+        x2 = np.clip(cxs[:, None, None] + fp[None, :, :, 1, 1] * w,
+                     0, W - 1).astype(np.intp)
+        bits = img[y1, x1] > img[y2, x2]                      # [M, F, B]
+        weights = (1 << np.arange(self.cfg.fern_size - 1, -1, -1,
+                                  dtype=np.int64))
+        return bits @ weights                                  # [M, F]
+
     def _detect(self, image):
-        """Sliding-window cascade: variance -> ferns -> NCC."""
+        """Sliding-window cascade over the FULL scale pyramid:
+        variance -> ferns -> NCC (TldDetection analog).  Scales are
+        1.2^k of the INITIAL box (k in [-octaves, octaves]) so the
+        detector reacquires after large scale changes; every stage is
+        vectorized over the window grid."""
         img = np.asarray(image, np.float32)
         H, W = img.shape
-        cy0, cx0, h, w = self.box
-        ii = np.asarray(ii_ops.transform(jnp.asarray(img)))
-        ii2 = np.asarray(ii_ops.transform(jnp.asarray(img * img)))
+        h0, w0 = self.init_size
+        ii = np.zeros((H + 1, W + 1))
+        ii[1:, 1:] = img.cumsum(0).cumsum(1)
+        ii2 = np.zeros((H + 1, W + 1))
+        ii2[1:, 1:] = (img.astype(np.float64) ** 2).cumsum(0).cumsum(1)
 
-        best = None
-        for s in self.cfg.scale_steps:
-            hs, ws = h * s, w * s
-            if hs > H or ws > W:
+        cand = []                          # (fern_prob, cy, cx, hs, ws)
+        ko = self.cfg.pyramid_octaves
+        for s in 1.2 ** np.arange(-ko, ko + 1):
+            hs, ws = h0 * s, w0 * s
+            if hs > H or ws > W or hs < 8 or ws < 8:
                 continue
             sy = max(int(hs * self.cfg.grid_stride), 2)
             sx = max(int(ws * self.cfg.grid_stride), 2)
-            for cy in np.arange(hs / 2, H - hs / 2, sy):
-                for cx in np.arange(ws / 2, W - ws / 2, sx):
-                    y0, x0 = int(cy - hs / 2), int(cx - ws / 2)
-                    y1, x1 = int(cy + hs / 2), int(cx + ws / 2)
-                    area = (y1 - y0) * (x1 - x0)
-                    if area <= 0:
-                        continue
-                    sm = _ii_sum(ii, y0, x0, y1, x1)
-                    sm2 = _ii_sum(ii2, y0, x0, y1, x1)
-                    var = sm2 / area - (sm / area) ** 2
-                    if var < self.cfg.variance_frac * self.init_var:
-                        continue
-                    codes = self._fern_codes(img, cy, cx, hs, ws)
-                    if self._fern_prob(codes) < 0.5:
-                        continue
-                    patch = self._patch(img, cy, cx, hs, ws)
-                    conf = self._confidence(patch)
-                    if conf > self.cfg.ncc_confirm and (
-                            best is None or conf > best[0]):
-                        best = (conf, cy, cx, hs, ws)
+            cys = np.arange(hs / 2, H - hs / 2, sy)
+            cxs = np.arange(ws / 2, W - ws / 2, sx)
+            if len(cys) == 0 or len(cxs) == 0:
+                continue
+            gy, gx = np.meshgrid(cys, cxs, indexing="ij")
+            gy = gy.ravel()
+            gx = gx.ravel()
+            y0 = (gy - hs / 2).astype(np.intp)
+            x0 = (gx - ws / 2).astype(np.intp)
+            y1 = (gy + hs / 2).astype(np.intp)
+            x1 = (gx + ws / 2).astype(np.intp)
+            area = (y1 - y0) * (x1 - x0)
+            sm = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+            sm2 = ii2[y1, x1] - ii2[y0, x1] - ii2[y1, x0] + ii2[y0, x0]
+            var = sm2 / area - (sm / area) ** 2
+            keep = var >= self.cfg.variance_frac * self.init_var
+            if not keep.any():
+                continue
+            gy, gx = gy[keep], gx[keep]
+            codes = self._fern_codes_batch(img, gy, gx, hs, ws)  # [M, F]
+            fr = np.arange(self.cfg.num_ferns)
+            p = self.posteriors_p[fr[None, :], codes]
+            n = self.posteriors_n[fr[None, :], codes]
+            prob = ((p + 1.0) / (p + n + 2.0)).mean(axis=1)
+            ok = prob >= 0.5
+            for i in np.nonzero(ok)[0]:
+                cand.append((float(prob[i]), float(gy[i]), float(gx[i]),
+                             hs, ws))
+        if not cand:
+            return None
+        # NCC-score the strongest fern survivors only
+        cand.sort(reverse=True)
+        best = None
+        for _, cy, cx, hs, ws in cand[:self.cfg.max_ncc_candidates]:
+            patch = self._patch(img, cy, cx, hs, ws)
+            conf = self._confidence(patch)
+            if conf > self.cfg.ncc_confirm and (
+                    best is None or conf > best[0]):
+                best = (conf, cy, cx, hs, ws)
         return best
 
     _prev_image: object = None

@@ -148,3 +148,41 @@ def test_tld_median_flow_tracks_smooth_motion():
         assert ok
         assert abs(box[0] - cy) < 2.5 and abs(box[1] - cx) < 2.5, \
             (box[:2], (cy, cx))
+
+
+def _object_frame_scaled(rng, cy, cx, scale, h=120, w=160):
+    """Object texture in object-relative coordinates, magnified by
+    ``scale`` (the same surface seen closer/farther)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    bg = rng.normal(100, 3, (h, w))
+    u = (yy - cy) / scale
+    v = (xx - cx) / scale
+    obj = (np.abs(u) < 12) & (np.abs(v) < 12)
+    tex = 50 * np.sign(np.sin(u * 0.9 + v * 0.31) + 0.4 * np.cos(v * 0.53)) \
+        + 2.0 * u
+    return (bg + np.where(obj, 70 + tex, 0)).astype(np.float32)
+
+
+def test_tld_reacquires_after_large_scale_change():
+    """The full-scale-pyramid detector (round 4) must reacquire the
+    target when it reappears ~1.7x larger elsewhere — outside the old
+    +-25% around-current-size search."""
+    rng = np.random.default_rng(5)
+    t = tld.make_tracker()
+    f0 = _object_frame_scaled(rng, 40, 50, 1.0)
+    t.initialize(f0, 40, 50, 24, 24)
+    for (cy, cx) in [(43, 55), (46, 60)]:
+        t.process(_object_frame_scaled(rng, cy, cx, 1.0))
+    # occlusion: object gone for two frames
+    for _ in range(2):
+        t.process(rng.normal(100, 3, (120, 160)).astype(np.float32))
+    # reappears larger and far away
+    ok = False
+    for _ in range(3):
+        frame = _object_frame_scaled(rng, 78, 112, 1.7)
+        ok, box = t.process(frame)
+        if ok:
+            break
+    assert ok, "never reacquired"
+    assert abs(box[0] - 78) < 8 and abs(box[1] - 112) < 8, box
+    assert 1.3 * 24 < box[2] < 2.2 * 24, box
