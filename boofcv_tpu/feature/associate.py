@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -227,3 +228,34 @@ def associate_three_by_pairs(desc1: jnp.ndarray, desc2: jnp.ndarray,
     closure = m13.valid & (m13.dst == k)
     valid = chain_ok & closure
     return (jnp.arange(desc1.shape[0], dtype=jnp.int32), j, k, valid)
+
+
+def associate_nearest_neighbor_kdtree(desc_a, desc_b, max_error: float = np.inf,
+                                      mutual: bool = True,
+                                      eps: float = 0.0) -> Matches:
+    """Host-side (approximate) KD-tree association —
+    AssociateNearestNeighbor.java API parity.
+
+    The TPU-native answer to association at scale is
+    :func:`associate_mutual_tiled` (streamed MXU matmuls); this wrapper
+    exists for host-only pipelines and API completeness, backed by
+    scipy's cKDTree.  ``eps`` > 0 allows approximate neighbors (the
+    reference's best-bin-first K-D search is likewise approximate).
+    Scores are squared Euclidean, matching the matmul paths.
+    """
+    from scipy.spatial import cKDTree
+
+    a = np.asarray(desc_a, np.float64)
+    b = np.asarray(desc_b, np.float64)
+    tree_b = cKDTree(b)
+    dist, idx = tree_b.query(a, k=1, eps=eps)
+    valid = np.isfinite(dist)
+    if mutual:
+        tree_a = cKDTree(a)
+        _, back = tree_a.query(b[idx], k=1, eps=eps)
+        valid &= back == np.arange(len(a))
+    d2 = dist ** 2
+    valid &= d2 <= max_error
+    return Matches(jnp.arange(len(a), dtype=jnp.int32),
+                   jnp.asarray(idx, jnp.int32),
+                   jnp.asarray(d2, jnp.float32), jnp.asarray(valid))

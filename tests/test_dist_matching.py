@@ -44,3 +44,25 @@ def test_sharded_pairwise_matching():
         # relative rotation parity
         R_gt = poses[b][0] @ poses[a][0].T
         np.testing.assert_allclose(out["R"][k], R_gt, atol=1e-2)
+
+
+def test_kdtree_association_matches_matmul_path():
+    import numpy as np
+    import jax.numpy as jnp
+    from boofcv_tpu.feature import associate
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 1, (200, 32)).astype(np.float32)
+    b = np.concatenate([a[:150] + rng.normal(0, 0.01, (150, 32)),
+                        rng.normal(0, 1, (80, 32))]).astype(np.float32)
+    m_kd = associate.associate_nearest_neighbor_kdtree(a, b,
+                                                       max_error=0.25)
+    s = associate.score_euclidean_sq(jnp.asarray(a), jnp.asarray(b))
+    m_mm = associate.associate_mutual(s, max_error=0.25)
+    kd_ok = np.asarray(m_kd.valid)
+    mm_ok = np.asarray(m_mm.valid)
+    # exact KD search (eps=0) must reproduce the matmul mutual-NN result
+    assert np.array_equal(kd_ok, mm_ok)
+    assert np.array_equal(np.asarray(m_kd.dst)[kd_ok],
+                          np.asarray(m_mm.dst)[mm_ok])
+    assert kd_ok.sum() >= 140

@@ -123,22 +123,22 @@ def orbit_scene(rng, n_views, n_points, h=H, w=W, f=F):
     return poses, feats
 
 
-def test_structure2_orbit_12_views_all_register():
-    """Wide-arc 12-view uncalibrated scene: every view must register and
+def test_structure2_orbit_10_views_all_register():
+    """Wide-arc 10-view uncalibrated scene: every view must register and
     the self-calibrated focal must land near truth (the 50-view version
-    of this scene is the round-4 scaling workload; 12 keeps the suite
-    fast)."""
+    of this scene is the round-4 scaling workload — 294 s on the 2-core
+    host; 10 views keeps the suite fast)."""
     rng = np.random.default_rng(3)
-    poses, feats = orbit_scene(rng, n_views=12, n_points=300)
+    poses, feats = orbit_scene(rng, n_views=10, n_points=250)
     it = iter(feats)
     scene = structure2.reconstruct_uncalibrated(
-        [np.zeros((H, W), np.float32)] * 12, detect=lambda im: next(it))
-    assert len(scene["poses"]) == 12, sorted(scene["poses"])
+        [np.zeros((H, W), np.float32)] * 10, detect=lambda im: next(it))
+    assert len(scene["poses"]) == 10, sorted(scene["poses"])
     assert abs(scene["K"][0, 0] - F) / F < 0.1, scene["K"]
     # camera centers to GT by similarity (Umeyama via pairwise ratios)
     c_gt = np.stack([-R.T @ t for R, t in poses])
     c_es = np.stack([-R.T @ t for R, t in
-                     (scene["poses"][v] for v in range(12))])
+                     (scene["poses"][v] for v in range(10))])
     d_gt = np.linalg.norm(c_gt[1:] - c_gt[0], axis=1)
     d_es = np.linalg.norm(c_es[1:] - c_es[0], axis=1)
     s = np.median(d_gt / np.maximum(d_es, 1e-12))
