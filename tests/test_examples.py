@@ -47,6 +47,11 @@ EXAMPLES = [
     "fit_shapes",
     "segment_graph_fh04",
     "dense_image_features",
+    "fisheye_calibration",
+    "tracker_mean_shift",
+    "thresholding_techniques",
+    "line_segments_ransac",
+    "background_moving_camera",
 ]
 
 
