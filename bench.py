@@ -137,7 +137,7 @@ def bench_batched_vo(frames, cfg, K, baseline):
     lefts = jnp.stack([jnp.asarray(l) for l, _ in frames[1:1 + T]])
     rights = jnp.stack([jnp.asarray(r) for _, r in frames[1:1 + T]])
     agg_fps = {}
-    for B in (4, 8):
+    for B in (4, 8, 16):
         states = stereo_vo.init_batched_state(cfg, B, H, W)
         bboot = stereo_vo.make_batched_bootstrap(cfg, K, baseline)
         l0 = jnp.broadcast_to(jnp.asarray(frames[0][0]), (B, H, W))
@@ -164,6 +164,10 @@ def bench_batched_vo(frames, cfg, K, baseline):
         "metric": "stereo_vo_agg_frames_per_s_per_chip_640x480_8stream",
         "value": round(agg_fps[8], 2), "unit": "frames/s",
         "vs_baseline": round(agg_fps[8] / 30.0, 2)}))
+    print(json.dumps({
+        "metric": "stereo_vo_agg_frames_per_s_per_chip_640x480_16stream",
+        "value": round(agg_fps[16], 2), "unit": "frames/s",
+        "vs_baseline": round(agg_fps[16] / 30.0, 2)}))
 
     # 1280x720 single stream
     H2, W2 = 720, 1280
