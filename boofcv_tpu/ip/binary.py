@@ -271,7 +271,13 @@ def contours_with_holes(binary) -> list[dict]:
     Returns one dict per blob (raster order, matching
     ``label_blobs_host`` ids 1..N): ``{"label": i, "external": [K, 2]
     (x, y), "internal": [[K_j, 2], ...]}`` where each internal contour
-    walks the blob pixels surrounding one hole."""
+    walks the blob pixels surrounding one hole.  Uses the native C++
+    tracer (native/ccl.cpp boofcv_contours_with_holes) when available;
+    the Python walker below is the reference fallback."""
+    from boofcv_tpu import native
+    res = native.contours_with_holes(binary)
+    if res is not None:
+        return res
     img = np.asarray(binary) > 0
     h, w = img.shape
     labels, n = label_blobs_host(img, eight=True)

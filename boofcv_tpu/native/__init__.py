@@ -62,6 +62,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.boofcv_contours_with_holes.restype = ctypes.c_int32
+        lib.boofcv_contours_with_holes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
         fp = ctypes.POINTER(ctypes.c_float)
         lib.boofcv_fh04.restype = ctypes.c_int32
         lib.boofcv_fh04.argtypes = [
@@ -161,3 +167,44 @@ def fh04_merge(wr, wd, wdr=None, wdl=None, k: float = 300.0,
         ctypes.c_float(k), ctypes.c_int32(min_size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out, int(n)
+
+
+def contours_with_holes(binary):
+    """Full Chang2004 contours (external + internal per blob) via the
+    native tracer; same structure as ``ip.binary.contours_with_holes``.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(np.asarray(binary) != 0, dtype=np.uint8)
+    h, w = img.shape
+    cap = max(4096, 6 * (h + 2) * (w + 2))
+    max_c = max(1024, h * w // 4 + 8)
+    for _ in range(2):
+        xy = np.empty((cap, 2), dtype=np.int32)
+        starts = np.zeros(max_c + 1, dtype=np.int32)
+        meta = np.zeros((max_c, 2), dtype=np.int32)
+        nc = lib.boofcv_contours_with_holes(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(h), ctypes.c_int32(w),
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(cap),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int32(max_c),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if nc >= 0:
+            n_blobs = int(meta[:nc, 0].max()) if nc else 0
+            out = [{"label": i + 1, "external": None, "internal": []}
+                   for i in range(n_blobs)]
+            for c in range(nc):
+                pts = xy[starts[c]:starts[c + 1]].copy()
+                lab, kind = int(meta[c, 0]), int(meta[c, 1])
+                if kind == 0:
+                    if out[lab - 1]["external"] is None:
+                        out[lab - 1]["external"] = pts
+                else:
+                    out[lab - 1]["internal"].append(pts)
+            return out
+        cap = 10 * (h + 2) * (w + 2)
+        max_c = h * w + 8
+    return None

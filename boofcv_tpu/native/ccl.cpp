@@ -227,3 +227,116 @@ extern "C" int32_t boofcv_fh04(const float* wr, const float* wd,
   }
   return next;
 }
+
+
+// ---------------------------------------------------------------------------
+// Full Chang-2004 contour extraction: external AND internal (hole) contours,
+// each tagged with its blob label — the complete LinearContourLabelChang2004
+// behavior (ip/binary.contours_with_holes is the Python fallback).
+//   out_xy:     capacity*2 int32 (x, y) pairs
+//   out_starts: (max_contours+1) int32 offsets
+//   out_meta:   max_contours*2 int32 (blob_label, kind: 0=external 1=hole)
+// Returns contour count, or -1 if a capacity was exceeded.
+extern "C" int32_t boofcv_contours_with_holes(
+    const uint8_t* img, int32_t h, int32_t w, int32_t* out_xy,
+    int64_t capacity, int32_t* out_starts, int32_t max_contours,
+    int32_t* out_meta) {
+  const int32_t H = h + 2, W = w + 2;
+  static const int32_t DY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+  static const int32_t DX[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+
+  // blob labels (8-connected) for tagging
+  std::vector<int32_t> labels((size_t)h * w);
+  boofcv_ccl(img, h, w, 1, labels.data());
+
+  std::vector<uint8_t> pad((size_t)H * W, 0);
+  for (int32_t y = 0; y < h; ++y)
+    for (int32_t x = 0; x < w; ++x)
+      pad[(size_t)(y + 1) * W + (x + 1)] = img[(int64_t)y * w + x] != 0;
+  std::vector<uint8_t> traced((size_t)H * W, 0);
+  // per-(pixel, dir) trace-epoch stamps: a state terminates only its OWN
+  // trace (external and hole walks of a 1-px-wide blob can share states)
+  std::vector<int32_t> epoch((size_t)H * W * 8, -1);
+
+  int64_t np_total = 0;
+  int32_t nc = 0;
+
+  // returns 0 ok, -1 capacity exceeded
+  auto trace = [&](int32_t y, int32_t x, int32_t backtrack, int32_t kind,
+                   uint8_t* traced_map) -> int32_t {
+    if (nc >= max_contours) return -1;
+    int32_t first = -1;
+    for (int32_t i = 1; i <= 8; ++i) {
+      const int32_t dd = (backtrack + i) % 8;
+      if (pad[(size_t)(y + DY[dd]) * W + (x + DX[dd])]) { first = dd; break; }
+    }
+    out_starts[nc] = (int32_t)np_total;
+    out_meta[nc * 2] = labels[(int64_t)(y - 1) * w + (x - 1)];
+    out_meta[nc * 2 + 1] = kind;
+    if (first < 0) {  // isolated pixel
+      traced_map[(size_t)y * W + x] = 1;
+      if (np_total + 1 > capacity) return -1;
+      out_xy[np_total * 2] = x - 1;
+      out_xy[np_total * 2 + 1] = y - 1;
+      ++np_total;
+      ++nc;
+      return 0;
+    }
+    const int32_t my_epoch = nc;
+    int32_t cy = y, cx = x, d = first;
+    while (epoch[((size_t)cy * W + cx) * 8 + d] != my_epoch) {
+      epoch[((size_t)cy * W + cx) * 8 + d] = my_epoch;
+      if (np_total + 1 > capacity) return -1;
+      out_xy[np_total * 2] = cx - 1;
+      out_xy[np_total * 2 + 1] = cy - 1;
+      ++np_total;
+      traced_map[(size_t)cy * W + cx] = 1;
+      cy += DY[d];
+      cx += DX[d];
+      for (int32_t i = 0; i < 8; ++i) {
+        const int32_t dd = (d + 6 + i) % 8;
+        if (pad[(size_t)(cy + DY[dd]) * W + (cx + DX[dd])]) { d = dd; break; }
+      }
+    }
+    ++nc;
+    return 0;
+  };
+
+  // external pass (raster entry from the west, backtrack W = index 0)
+  for (int32_t y = 1; y <= h; ++y)
+    for (int32_t x = 1; x <= w; ++x) {
+      const size_t p = (size_t)y * W + x;
+      if (!pad[p] || traced[p] || pad[p - 1]) continue;
+      if (trace(y, x, 0, 0, traced.data()) < 0) return -1;
+    }
+
+  // holes: 4-connected background components not touching the border
+  std::vector<uint8_t> inv((size_t)h * w);
+  for (int64_t i = 0; i < (int64_t)h * w; ++i) inv[i] = img[i] == 0;
+  std::vector<int32_t> bg((size_t)h * w);
+  const int32_t n_bg = boofcv_ccl(inv.data(), h, w, 0, bg.data());
+  std::vector<uint8_t> border((size_t)n_bg + 1, 0);
+  for (int32_t x = 0; x < w; ++x) {
+    if (bg[x]) border[bg[x]] = 1;
+    if (bg[(int64_t)(h - 1) * w + x]) border[bg[(int64_t)(h - 1) * w + x]] = 1;
+  }
+  for (int32_t y = 0; y < h; ++y) {
+    if (bg[(int64_t)y * w]) border[bg[(int64_t)y * w]] = 1;
+    if (bg[(int64_t)y * w + w - 1]) border[bg[(int64_t)y * w + w - 1]] = 1;
+  }
+  // first raster pixel of each hole IS its topmost-leftmost pixel
+  std::vector<uint8_t> started((size_t)n_bg + 1, 0);
+  std::vector<uint8_t> hole_traced((size_t)H * W, 0);
+  for (int32_t y = 0; y < h; ++y)
+    for (int32_t x = 0; x < w; ++x) {
+      const int32_t hid = bg[(int64_t)y * w + x];
+      if (!hid || border[hid] || started[hid]) continue;
+      started[hid] = 1;
+      // blob pixel directly above; backtrack points south into the hole
+      if (trace(y /*padded y of pixel above = (y-1)+1*/, x + 1, 6, 1,
+                hole_traced.data()) < 0)
+        return -1;
+    }
+  if (nc < max_contours + 1) out_starts[nc] = (int32_t)np_total;
+  return nc;
+}
