@@ -52,6 +52,21 @@ EXAMPLES = [
     "thresholding_techniques",
     "line_segments_ransac",
     "background_moving_camera",
+    "binary_ops",
+    "color_space",
+    "fourier_transform",
+    "interpolation_zoo",
+    "image_pyramids",
+    "corner_features",
+    "feature_surf",
+    "depth_point_cloud",
+    "rectify_calibrated_stereo",
+    "pose_of_calibration_target",
+    "point_deform_mls",
+    "overhead_view",
+    "fiducial_image",
+    "image_classification",
+    "video_mosaic",
 ]
 
 
