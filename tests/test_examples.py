@@ -67,6 +67,10 @@ EXAMPLES = [
     "fiducial_image",
     "image_classification",
     "video_mosaic",
+    "visual_odometry_stereo",
+    "segment_mean_shift",
+    "planar_images",
+    "convolution",
 ]
 
 
