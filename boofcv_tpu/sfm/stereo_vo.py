@@ -312,7 +312,7 @@ def make_sequence_runner(cfg: StereoVoConfig, rectK, baseline: float):
             return s, (s.R, s.t, m)
 
         state, (Rs, ts, ms) = jax.lax.scan(body, state, (lefts, rights),
-                                           unroll=2)
+                                           unroll=4)
         return state, ((Rs, ts), ms)
 
     return run
@@ -386,7 +386,7 @@ def make_batched_sequence_runner(cfg: StereoVoConfig, rectK,
             return s, (s.R, s.t, m)
 
         states, (Rs, ts, ms) = jax.lax.scan(body, states, (lefts, rights),
-                                            unroll=2)
+                                            unroll=4)
         return states, ((Rs, ts), ms)
 
     return run
