@@ -54,6 +54,15 @@ prob = ba.make_problem(Rs, ts, pts + rng.normal(0, 0.01, pts.shape),
                        obs_xy, obs_view, obs_valid, fixed_views=fixed)
 out, info = ba_sharded.optimize_sharded(prob, mesh, iterations=2)
 print("FINAL_COST", float(info["final_cost"]), flush=True)
+
+# the at-scale reduced solver over BOTH processes: 1D mesh spanning the
+# 4 devices (2 per host), row-scattered PCG riding the same DCN path
+from boofcv_tpu.dist import make_mesh
+mesh1d = make_mesh()
+out2, info2 = ba_sharded.optimize_sharded(prob, mesh1d, iterations=2,
+                                          reduced_solver="pcg",
+                                          pcg_iterations=80)
+print("FINAL_COST_PCG", float(info2["final_cost"]), flush=True)
 """
 
 
@@ -85,7 +94,13 @@ def test_two_process_mesh_ba():
                         and "not supported" in err):
             pytest.skip("jax.distributed unavailable: " + err[-200:])
         assert rc == 0, err[-2000:]
-    costs = [float(o.split("FINAL_COST")[1].split()[0]) for _, o, _ in outs]
+    costs = [float(o.split("FINAL_COST ")[1].split()[0]) for _, o, _ in outs]
     assert np.isfinite(costs).all()
     # both processes agree on the replicated reduced-system result
     assert abs(costs[0] - costs[1]) < 1e-9 * (1 + abs(costs[0]))
+    # PCG leg across both processes matches the exact path
+    costs_p = [float(o.split("FINAL_COST_PCG ")[1].split()[0])
+               for _, o, _ in outs]
+    assert np.isfinite(costs_p).all()
+    assert abs(costs_p[0] - costs_p[1]) < 1e-9 * (1 + abs(costs_p[0]))
+    assert abs(costs_p[0] - costs[0]) < 1e-3 * (1 + abs(costs[0]))
