@@ -52,10 +52,14 @@ def nonmax_direction4(intensity: jnp.ndarray,
     — the strict side breaks the exact tie a symmetric blurred step
     produces (two equal maxima straddling the edge), keeping edges one
     pixel thin."""
+    # neighbors lie ALONG the gradient vector: sector 1 is a gradient at
+    # ~45deg = (+x, +y) -> compare the NW/SE diagonal; sector 3 (135deg,
+    # gradient (-x, +y)) -> NE/SW.  (These two were swapped originally,
+    # which compared along the iso-contour and suppressed diagonal edges.)
     pairs = [((0, -1), (0, 1)),    # sector 0: horizontal gradient
-             ((-1, 1), (1, -1)),   # sector 1: 45deg
+             ((-1, -1), (1, 1)),   # sector 1: 45deg
              ((-1, 0), (1, 0)),    # sector 2: vertical
-             ((-1, -1), (1, 1))]   # sector 3: 135deg
+             ((-1, 1), (1, -1))]   # sector 3: 135deg
     keep = jnp.zeros(intensity.shape, bool)
     for s, (a, b) in enumerate(pairs):
         na = _shift(intensity, *a)
@@ -114,8 +118,15 @@ def canny(image, low: float, high: float, sigma: float = -1.0,
     direction = discretize_direction4(dx, dy)
     nms = nonmax_direction4(intensity, direction)
     if relative:
+        # a featureless frame's max(nms) is float-noise-level (exactly 0
+        # or ~eps from the blur); an absolute floor scaled to the image
+        # range keeps the thresholds above fp noise so the mask comes
+        # back empty instead of all-noise
+        floor = 1e-4 * (1.0 + jnp.max(jnp.abs(img)))
         m = jnp.max(nms)
-        return hysteresis(nms, low * m, high * m)
+        lo = jnp.maximum(low * m, floor)
+        hi = jnp.maximum(high * m, floor)
+        return hysteresis(nms, lo, hi)
     return hysteresis(nms, low, high)
 
 

@@ -197,16 +197,13 @@ def _track_level_windowed(image, desc, gx, gy, cy, cx, cfg: KltConfig):
     return cy_out, cx_out, fault
 
 
-def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
-                 use_pallas: bool = False):
-    """One level of inverse-compositional KLT for all N tracks at once.
+def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
+    """One level of inverse-compositional KLT for all N tracks at once —
+    the per-iteration flat-gather XLA formulation (the windowed path is
+    the production one; this is kept as the equivalence-test oracle).
 
     image: [h, w]; desc/gx/gy: [N, P, P]; cy/cx: [N] initial positions at
     this level's scale.  Returns (cy, cx, fault).
-
-    use_pallas=True runs the fused Pallas kernel (all GN iterations in
-    one launch, image resident in VMEM) — the XLA path pays per-iteration
-    stage overhead instead.
     """
     n = desc.shape[0]
     r = cfg.template_radius
@@ -282,8 +279,7 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig,
 
 def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
                   ys: jnp.ndarray, xs: jnp.ndarray,
-                  scales: Sequence[int], cfg: KltConfig,
-                  use_pallas: bool | None = None):
+                  scales: Sequence[int], cfg: KltConfig):
     """Coarse-to-fine tracking of all N features (PyramidKltTracker.track:113).
 
     ys/xs: [N] full-resolution positions.  Returns (ys, xs, fault) — fault
@@ -299,10 +295,7 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
     cx = xs / scales[-1]
     for lvl in range(num_levels - 1, -1, -1):
         s = scales[lvl]
-        # use_pallas=False is the legacy test switch forcing the
-        # per-iteration gather path (the fused Pallas option is gone)
-        windowed = cfg.method != "gather" if use_pallas is None else False
-        if windowed:
+        if cfg.method != "gather":
             cy_l, cx_l, f = _track_level_windowed(
                 pyramid[lvl], templates.desc[lvl], templates.grad_x[lvl],
                 templates.grad_y[lvl], cy, cx, cfg)

@@ -284,12 +284,16 @@ def detect_circle_regular_grid(image, rows: int, cols: int,
     for grid ordering there too, KeyPointsCircleRegularGrid.java.)
     """
     # connectivity lattice growth first (oblique-robust); homography
-    # cell-rounding _order_grid as the frontal fallback
+    # cell-rounding _order_grid as the frontal fallback.  Orientation
+    # candidates are PROPER rotations of the index lattice (np.rot90) —
+    # a bare transpose is a reflection and would hand Zhang99 a
+    # mirror-handed world<->image correspondence.
     res = detect_circle_regular_grid_auto(image, min_area)
     if res is not None:
         grid, mask = res
-        for g, m in ((grid, mask),
-                     (np.transpose(grid, (1, 0, 2)), mask.T)):
+        for k in range(4):
+            g = np.rot90(grid, k, axes=(0, 1))
+            m = np.rot90(mask, k)
             if m.shape == (rows, cols) and m.all():
                 return g.reshape(-1, 2)
     centers = _circle_centers(image, rows, cols, min_area)
@@ -347,17 +351,29 @@ def detect_circle_hexagonal_grid(image, rows: int, cols: int,
     """
     num = sum((cols + 1) // 2 if r % 2 == 0 else cols // 2
               for r in range(rows))
-    # connectivity lattice growth first (oblique-robust)
+    # connectivity lattice growth first (oblique-robust).  Orientation
+    # candidates are PROPER 90-degree rotations of the hex index lattice
+    # ((i, j) -> (j, -i), min-normalized) — an index swap is a
+    # reflection and would mirror the world<->image correspondence.  A
+    # rotation that breaks the (i + j) even convention (possible when a
+    # grid dimension is even) cannot match the requested pattern and is
+    # skipped.
     auto = detect_circle_hexagonal_grid_auto(image, min_area)
     if auto is not None and len(auto["points"]) == num:
-        for swap in (False, True):
-            r_a, c_a = ((auto["rows"], auto["cols"]) if not swap
-                        else (auto["cols"], auto["rows"]))
-            if (r_a, c_a) != (rows, cols):
+        ij0 = np.array([(i, j) for i, j, _, _ in auto["points"]])
+        xy = np.array([(x, y) for _, _, x, y in auto["points"]])
+        for k in range(4):
+            p = ij0.copy()
+            for _ in range(k):
+                p = np.stack([p[:, 1], -p[:, 0]], 1)
+            p = p - p.min(axis=0)
+            if ((p.sum(1) % 2) != 0).any():
                 continue
-            pts = sorted((j, i, x, y) if swap else (i, j, x, y)
-                         for i, j, x, y in auto["points"])
-            return np.array([[x, y] for _, _, x, y in pts])
+            if (int(p[:, 0].max()) + 1, int(p[:, 1].max()) + 1) \
+                    != (rows, cols):
+                continue
+            order = np.lexsort((p[:, 1], p[:, 0]))
+            return xy[order]
     found = []
     for contour, area in _black_blob_contours(image, min_area):
         e = shapes.fit_ellipse(contour)

@@ -56,12 +56,16 @@ class PairwiseGraph2:
     edges: dict = field(default_factory=dict)
 
 
-def _batched_fh_ransac(keys, pa, pb, mask, num_hypotheses: int = 256,
-                       threshold_px: float = 2.0):
-    """F-RANSAC and H-RANSAC for a BATCH of pairs as one vmapped jitted
-    program — the hypothesis-parallel solvers are pure traced jnp, so
-    pairs become one more batch axis (the graph generator's former
-    2-dispatches-per-pair host loop was the structure2 scaling wall)."""
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_fh_ransac_fn(num_hypotheses: int, threshold_px: float):
+    """Build (once per config) the vmapped F+H RANSAC over a pair batch.
+
+    Cached at module level: jax.jit keys on function identity, so a
+    fresh closure per call would re-trace and re-compile the identical
+    program for every 64-pair chunk."""
 
     def one(key, a, b, m):
         k1, k2 = jax.random.split(key)
@@ -75,7 +79,17 @@ def _batched_fh_ransac(keys, pa, pb, mask, num_hypotheses: int = 256,
                                       valid_mask=m)
         return (rf.model[0], rf.inliers, rf.num_inliers, rh.num_inliers)
 
-    return jax.jit(jax.vmap(one))(keys, pa, pb, mask)
+    return jax.jit(jax.vmap(one))
+
+
+def _batched_fh_ransac(keys, pa, pb, mask, num_hypotheses: int = 256,
+                       threshold_px: float = 2.0):
+    """F-RANSAC and H-RANSAC for a BATCH of pairs as one vmapped jitted
+    program — the hypothesis-parallel solvers are pure traced jnp, so
+    pairs become one more batch axis (the graph generator's former
+    2-dispatches-per-pair host loop was the structure2 scaling wall)."""
+    return _batched_fh_ransac_fn(num_hypotheses, threshold_px)(
+        keys, pa, pb, mask)
 
 
 def generate_pairwise_graph(images, max_features: int = 300,

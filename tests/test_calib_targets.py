@@ -183,3 +183,25 @@ def test_circle_regular_grid_fixed_api_uses_connectivity_when_oblique():
     exp = _apply_h(H, np.array([(x, y) for (y, x) in centers]))
     d = np.linalg.norm(pts[:, None, :] - exp[None, :, :], axis=-1)
     assert (d.min(axis=1) < 2.5).all()
+
+
+def test_circle_regular_grid_rotated_view_keeps_handedness():
+    """Regression: the 90-deg-rolled view must return a PROPER rotation
+    of the lattice (a transpose is a reflection, which would hand
+    Zhang99 a mirror-handed correspondence)."""
+    rows, cols, pitch, r0 = 4, 5, 32, 8
+    centers = [(30 + r * pitch, 30 + c * pitch)
+               for r in range(rows) for c in range(cols)]
+    img = render_circles(centers, r0, 160, 200)
+
+    def handedness(pts, n_cols):
+        v_col = pts[1] - pts[0]
+        v_row = pts[n_cols] - pts[0]
+        return np.sign(v_col[0] * v_row[1] - v_col[1] * v_row[0])
+
+    pts0 = calib_targets.detect_circle_regular_grid(img, rows, cols)
+    assert pts0 is not None
+    rot = np.rot90(img).copy()              # camera rolled 90 degrees
+    pts1 = calib_targets.detect_circle_regular_grid(rot, rows, cols)
+    assert pts1 is not None and pts1.shape == (rows * cols, 2)
+    assert handedness(pts0, cols) == handedness(pts1, cols)

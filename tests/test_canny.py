@@ -62,8 +62,8 @@ def _naive_canny(img, low, high, radius=2):
     theta = np.arctan2(dy, dx)
     theta = np.where(theta < 0, theta + np.pi, theta)
     sector = np.floor((theta + np.pi / 8) / (np.pi / 4)).astype(int) % 4
-    pairs = [((0, -1), (0, 1)), ((-1, 1), (1, -1)),
-             ((-1, 0), (1, 0)), ((-1, -1), (1, 1))]
+    pairs = [((0, -1), (0, 1)), ((-1, -1), (1, 1)),
+             ((-1, 0), (1, 0)), ((-1, 1), (1, -1))]
     h, w = img.shape
     nms = np.zeros_like(inten)
     for y in range(h):
@@ -157,3 +157,25 @@ def test_edge_contours_cover_mask_with_adjacency():
     for c in chains:
         d = np.abs(np.diff(c, axis=0))
         assert d.size == 0 or int(d.max()) <= 1   # 8-connected steps
+
+
+def test_canny_diagonal_edges_not_suppressed():
+    """Regression: sectors 1/3 compared along the iso-contour (swapped
+    neighbor pairs), suppressing diagonal edges almost entirely."""
+    img45 = np.where(np.add.outer(np.arange(64), np.arange(64)) > 60,
+                     100.0, 0.0).astype(np.float32)
+    img135 = img45[:, ::-1].copy()
+    imgv = np.zeros((64, 64), np.float32)
+    imgv[:, 32:] = 100.0
+    n_v = int(np.asarray(canny(jnp.asarray(imgv), 10.0, 40.0)).sum())
+    for d in (img45, img135):
+        n_d = int(np.asarray(canny(jnp.asarray(d), 10.0, 40.0)).sum())
+        # a diagonal edge is sqrt(2) longer; it must be at least
+        # comparable to the vertical edge, not ~5x shorter
+        assert n_d > 0.9 * n_v, (n_d, n_v)
+
+
+def test_canny_relative_flat_frame_empty():
+    flat = np.full((40, 50), 37.0, np.float32)
+    m = np.asarray(canny(jnp.asarray(flat), 0.1, 0.4, relative=True))
+    assert m.sum() == 0
