@@ -54,18 +54,38 @@ def _scene_pair(seed=0):
     return left.astype(np.float32), right.astype(np.float32), disp
 
 
-def _time_device(fn, inputs, reps=5):
-    """Steady-state device timing: warm once, then cycle pre-uploaded
-    input variants and force a small output transfer per rep (tunnel
-    backends have been seen to no-op block_until_ready)."""
-    out = fn(*inputs[0])
-    jax.block_until_ready(out)
+def _time_device(fn, inputs, reps=3, chain=5):
+    """Steady-state device timing on the tunneled backend.
+
+    Two confounders (see PROFILE.md): ``jax.block_until_ready`` is a
+    no-op on this backend, and every dispatch pays a ~30-45 ms tunnel
+    round-trip.  So: CHAIN ``chain`` calls inside one jitted program
+    (inputs cycled from a stacked pool via dynamic indexing so XLA
+    cannot CSE them; outputs folded into a live scalar), force a scalar
+    transfer per rep, and divide by the chain length — the residual
+    bias is round-trip/chain.
+    """
+    from jax import lax
+
+    stacked = tuple(jnp.stack([inp[k] for inp in inputs])
+                    for k in range(len(inputs[0])))
+    V = len(inputs)
+
+    @jax.jit
+    def chained(*stk):
+        def body(acc, i):
+            args = tuple(s[i % V] for s in stk)
+            out = fn(*args)
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + jnp.sum(leaves[0].astype(jnp.float32)) * 1e-12, 0
+        acc, _ = lax.scan(body, jnp.float32(0), jnp.arange(chain))
+        return acc
+
+    np.asarray(chained(*stacked))
     t0 = time.perf_counter()
-    for i in range(reps):
-        out = fn(*inputs[i % len(inputs)])
-        jax.block_until_ready(out)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:4]
-    return (time.perf_counter() - t0) / reps * 1000.0
+    for _ in range(reps):
+        np.asarray(chained(*stacked))
+    return (time.perf_counter() - t0) / reps / chain * 1000.0
 
 
 # ---------------------------------------------------------------------------
