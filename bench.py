@@ -22,6 +22,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(x):
+    """Force a real device->host transfer of a small leaf:
+    ``jax.block_until_ready`` is a NO-OP on the tunneled backend (it has
+    intermittently returned before execution, inflating fps by 1000x)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
 def main():
     from boofcv_tpu.sfm import stereo_vo
     from boofcv_tpu.io import simulate
@@ -77,13 +85,13 @@ def main():
 
     t0 = time.perf_counter()
     s, (poses, ms) = run(state, lefts, rights)
-    jax.block_until_ready(ms)
+    _sync(ms)
     print(f"# sequence-runner compile+run: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     s, (poses, ms) = run(state, lefts, rights)
-    jax.block_until_ready(ms)
+    _sync(ms)
     dt = time.perf_counter() - t0
     fps = reps / dt
 
@@ -95,7 +103,7 @@ def main():
     lat_reps = 10
     for i in range(lat_reps):
         s1, m = step(s1, lefts[i % reps], rights[i % reps])
-    jax.block_until_ready(m)
+    _sync(m)
     lat_fps = lat_reps / (time.perf_counter() - t0)
     print(f"# per-dispatch (latency-bound) path: {lat_fps:.1f} fps",
           file=sys.stderr, flush=True)
@@ -147,7 +155,7 @@ def bench_batched_vo(frames, cfg, K, baseline):
                                                      shared_frames=True)
         t0 = time.perf_counter()
         s, (_, ms) = run(states, lefts, rights)
-        jax.block_until_ready(ms)
+        _sync(ms)
         print(f"# batched-VO B={B} compile+run: "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr,
               flush=True)
@@ -155,7 +163,7 @@ def bench_batched_vo(frames, cfg, K, baseline):
         reps = 3
         for _ in range(reps):
             s, (_, ms) = run(states, lefts, rights)
-            jax.block_until_ready(ms)
+            _sync(ms)
         dt = (time.perf_counter() - t0) / reps
         agg_fps[B] = T * B / dt
         print(f"# batched-VO B={B}: {agg_fps[B]:.1f} frames/s aggregate "
@@ -196,14 +204,14 @@ def bench_batched_vo(frames, cfg, K, baseline):
     r2 = jnp.stack([jnp.asarray(r) for _, r in f2[1:]])
     t0 = time.perf_counter()
     s, (_, ms) = run(state, l2, r2)
-    jax.block_until_ready(ms)
+    _sync(ms)
     print(f"# 720p-VO compile+run: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         s, (_, ms) = run(state, l2, r2)
-        jax.block_until_ready(ms)
+        _sync(ms)
     fps = T * reps / (time.perf_counter() - t0)
     print(f"# 720p-VO single stream: {fps:.1f} frames/s", file=sys.stderr,
           flush=True)
@@ -370,14 +378,14 @@ def bench_window_ba():
                            fixed_views=fixed, dtype=jnp.float32)
     t0 = time.perf_counter()
     out, info = ba.optimize(prob, iterations=10)
-    jax.block_until_ready(out.points)
+    _sync(out.points)
     print(f"# window-BA compile+solve: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         out, info = ba.optimize(prob, iterations=10)
-        jax.block_until_ready(out.points)
+        _sync(out.points)
     ms = (time.perf_counter() - t0) / reps * 1000.0
     r = np.asarray(ba.residuals(out))
     rms = float(np.sqrt((np.linalg.norm(r, axis=-1)[obs_valid] ** 2).mean()))
