@@ -577,10 +577,83 @@ def bench_zhang99():
         "vs_baseline": round(cpu / ms, 2)}))
 
 
+def _np_horn_schunck(i1, i2, alpha=20.0, iterations=200):
+    """Vectorized numpy single-level Horn-Schunck, same stencils as
+    feature.flow.horn_schunck (Jacobi iterations over the whole field)."""
+    i1 = i1.astype(np.float64)
+    i2 = i2.astype(np.float64)
+    # HS gradients (average of the two frames, forward differences)
+    def gx(f):
+        return np.pad(f[:, 1:] - f[:, :-1], ((0, 0), (0, 1)), "edge")
+
+    def gy(f):
+        return np.pad(f[1:] - f[:-1], ((0, 1), (0, 0)), "edge")
+
+    dx = 0.5 * (gx(i1) + gx(i2))
+    dy = 0.5 * (gy(i1) + gy(i2))
+    dt = i2 - i1
+    a2 = alpha * alpha
+    u = np.zeros_like(i1)
+    v = np.zeros_like(i1)
+
+    def lap_avg(f):
+        p = np.pad(f, 1, "edge")
+        return (p[1:-1, :-2] + p[1:-1, 2:] + p[:-2, 1:-1]
+                + p[2:, 1:-1]) / 6.0 + (p[:-2, :-2] + p[:-2, 2:]
+                                        + p[2:, :-2] + p[2:, 2:]) / 12.0
+
+    for _ in range(iterations):
+        ub = lap_avg(u)
+        vb = lap_avg(v)
+        num = dx * ub + dy * vb + dt
+        den = a2 + dx * dx + dy * dy
+        u = ub - dx * num / den
+        v = vb - dy * num / den
+    return u, v
+
+
+def bench_flow():
+    from boofcv_tpu.feature import flow
+
+    rng = np.random.default_rng(0)
+    from scipy import ndimage as ndi
+    base = ndi.gaussian_filter(rng.normal(0, 1, (H + 8, W + 8)), 2.5)
+    base = (120 + 60 * base / base.std()).astype(np.float32)
+    pairs = []
+    for s in range(3):
+        dy, dx = 1.5 + 0.2 * s, 2.0 + 0.3 * s
+        i1 = base[4:4 + H, 4:4 + W]
+        i2 = ndi.shift(base, (dy, dx), order=1)[4:4 + H, 4:4 + W]
+        pairs.append((i1.copy(), i2.astype(np.float32), (dx, dy)))
+    inputs = [(jnp.asarray(a), jnp.asarray(b)) for a, b, _ in pairs]
+
+    f = jax.jit(lambda a, b: jnp.stack(flow.horn_schunck(
+        a, b, alpha=20.0, iterations=200)))
+    ms = _time_device(f, inputs)
+    uv = np.asarray(f(*inputs[0]))
+    dxe, dye = pairs[0][2]
+    c = np.s_[40:-40, 40:-40]
+    err = np.hypot(uv[0][c] - (-dxe), uv[1][c] - (-dye)).mean()         if False else np.hypot(uv[0][c] - dxe, uv[1][c] - dye).mean()
+    _log(f"# HS-flow device: {ms:.1f} ms (mean endpoint err {err:.2f} px"
+         f" at ({dxe}, {dye}))")
+
+    t0 = time.perf_counter()
+    un, vn = _np_horn_schunck(*pairs[0][:2])
+    cpu = (time.perf_counter() - t0) * 1000.0
+    errn = np.hypot(un[c] - dxe, vn[c] - dye).mean()
+    _log(f"# HS-flow numpy baseline: {cpu:.1f} ms (mean endpoint err "
+         f"{errn:.2f} px)")
+    print(json.dumps({
+        "metric": "hs_flow_ms_640x480_200it",
+        "value": round(ms, 2), "unit": "ms",
+        "vs_baseline": round(cpu / ms, 2)}))
+
+
 def run_all():
     bench_disparity()
     bench_surf()
     bench_associate()
+    bench_flow()
     bench_zhang99()
 
 
