@@ -76,8 +76,13 @@ def _time_device(fn, inputs, reps=3, chain=5):
         def body(acc, i):
             args = tuple(s[i % V] for s in stk)
             out = fn(*args)
-            leaves = jax.tree_util.tree_leaves(out)
-            return acc + jnp.sum(leaves[0].astype(jnp.float32)) * 1e-12, 0
+            # keep EVERY output leaf live: folding only leaves[0] let XLA
+            # DCE an entire benchmark once (Matches.src is a constant
+            # arange — the 10k association matmul was eliminated and the
+            # "measurement" was the dispatch floor)
+            live = sum(jnp.sum(l.astype(jnp.float32)) * 1e-12
+                       for l in jax.tree_util.tree_leaves(out))
+            return acc + live, 0
         acc, _ = lax.scan(body, jnp.float32(0), jnp.arange(chain))
         return acc
 
@@ -633,7 +638,7 @@ def bench_flow():
     uv = np.asarray(f(*inputs[0]))
     dxe, dye = pairs[0][2]
     c = np.s_[40:-40, 40:-40]
-    err = np.hypot(uv[0][c] - (-dxe), uv[1][c] - (-dye)).mean()         if False else np.hypot(uv[0][c] - dxe, uv[1][c] - dye).mean()
+    err = np.hypot(uv[0][c] - dxe, uv[1][c] - dye).mean()
     _log(f"# HS-flow device: {ms:.1f} ms (mean endpoint err {err:.2f} px"
          f" at ({dxe}, {dye}))")
 

@@ -288,6 +288,11 @@ def track_pyramid(pyramid: Sequence[jnp.ndarray], templates: KltTemplates,
     KltConfig; "gather" keeps the per-iteration flat-gather XLA path for
     the equivalence tests).
     """
+    if cfg.method not in ("windowed", "gather"):
+        raise ValueError(
+            f"unknown KltConfig.method {cfg.method!r}: 'windowed' or "
+            "'gather' (the fused-Pallas option was removed in r4 — "
+            "PROFILE.md 'Pallas KLT postmortem')")
     n = ys.shape[0]
     fault = jnp.full((n,), TRACK_OK, dtype=jnp.int32)
     num_levels = len(scales)

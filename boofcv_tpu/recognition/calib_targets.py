@@ -324,8 +324,14 @@ def detect_circle_hexagonal_grid_auto(image, min_area: int = 10):
     vs, us = np.nonzero(mask)
     i_h = us + vs
     j_h = us - vs
+    # normalize to >= 0 with a PARITY-PRESERVING shift: independent mins
+    # can make every (i + j) odd, violating the documented hex
+    # convention (all points share one sum-parity, so a single +1 on j
+    # restores it)
     i_h -= i_h.min()
     j_h -= j_h.min()
+    if ((i_h + j_h) % 2 != 0).any():
+        j_h = j_h + 1
     pts = [(int(i), int(j), float(grid[v, u, 0]), float(grid[v, u, 1]))
            for i, j, v, u in zip(i_h, j_h, vs, us)]
     pts.sort()

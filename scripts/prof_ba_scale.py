@@ -96,11 +96,11 @@ def main():
     if not args.skip_dense:
         t0 = time.perf_counter()
         out, info = ba.optimize(prob, iterations=args.iters)
-        jax.block_until_ready(out.points)
+        np.asarray(out.points[:1])   # forced sync: block_until_ready is a no-op on the tunnel
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         out, info = ba.optimize(prob, iterations=args.iters)
-        jax.block_until_ready(out.points)
+        np.asarray(out.points[:1])   # forced sync: block_until_ready is a no-op on the tunnel
         ms = (time.perf_counter() - t0) * 1000.0
         print(f"single-chip dense LM ({args.views}v/{args.points}p/"
               f"{args.iters}it): {ms:.0f} ms (compile {compile_s:.0f}s), "
@@ -118,13 +118,13 @@ def main():
         out, info = ba_sharded.optimize_sharded(
             prob, mesh, iterations=args.iters, reduced_solver=solver,
             **extra)
-        jax.block_until_ready(out.points)
+        np.asarray(out.points[:1])   # forced sync: block_until_ready is a no-op on the tunnel
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         out, info = ba_sharded.optimize_sharded(
             prob, mesh, iterations=args.iters, reduced_solver=solver,
             **extra)
-        jax.block_until_ready(out.points)
+        np.asarray(out.points[:1])   # forced sync: block_until_ready is a no-op on the tunnel
         ms = (time.perf_counter() - t0) * 1000.0
         print(f"{n}-device {solver} ({args.views}v/{args.points}p/"
               f"{args.iters}it): {ms:.0f} ms (compile {compile_s:.0f}s), "
