@@ -6,10 +6,15 @@ The reference workload is BoofCV's stereo-VO example configuration
 the per-frame step here runs pyramids + batched pyramidal KLT + sparse
 stereo BM + hypothesis-parallel RANSAC-P3P + refine as one jitted program.
 
-BoofCV publishes no numbers (BASELINE.md); ``vs_baseline`` is measured
-fps over a nominal 30 fps BoofCV-on-CPU real-time figure (its README's
-real-time claim at 640x480), so vs_baseline > 10 meets the north-star
-">10x BoofCV-on-CPU frames/s per chip".
+BoofCV publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured device fps / measured CPU fps of ``bench_vo_baseline`` — a
+vectorized-numpy implementation of the SAME per-frame spec (pyramidal
+inverse-compositional KLT + Shi-Tomasi spawn + sparse SAD stereo +
+P3P-Grunert RANSAC + GN refine) run on the SAME synthetic sequence on
+this host.  Earlier rounds divided by a nominal 30 fps real-time
+constant; round 5 replaced it with the measured baseline (the numpy
+VO recovers the ground-truth trajectory to ~2 mm on this sequence, so
+it is a functioning odometer, not a strawman).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -108,6 +113,13 @@ def main():
     print(f"# per-dispatch (latency-bound) path: {lat_fps:.1f} fps",
           file=sys.stderr, flush=True)
 
+    # measured CPU baseline: the numpy VO on the same frames (r5 —
+    # replaces the nominal 30 fps constant of rounds 1-4)
+    import bench_vo_baseline
+    cpu_fps, diag = bench_vo_baseline.measure_np_vo_fps(
+        frames, K, baseline, max_frames=20,
+        log=lambda m: print(m, file=sys.stderr, flush=True))
+
     bench_window_ba()
 
     # breadth surface: disparity BM/SGM, SURF, association, Zhang99 —
@@ -118,24 +130,25 @@ def main():
     # batch-parallel VO: the single-stream step is latency-bound (<2%
     # MFU, PROFILE.md) — vmapping B streams into one program is the
     # throughput lever; plus a 1280x720 single-stream row
-    bench_batched_vo(frames, cfg, K, baseline)
+    bench_batched_vo(frames, cfg, K, baseline, cpu_fps)
 
     # primary metric LAST (the driver parses the final JSON line)
     print(json.dumps({
         "metric": "stereo_vo_frames_per_s_per_chip_640x480",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 2),
+        "vs_baseline": round(fps / cpu_fps, 2),
     }))
 
 
-def bench_batched_vo(frames, cfg, K, baseline):
+def bench_batched_vo(frames, cfg, K, baseline, cpu_fps):
     """Aggregate frames/s/chip vs stream count B (shared-frame replay:
     one HBM copy of the sequence, B-fold compute), and a 1280x720
-    single-stream row.  vs_baseline keeps the VO convention: the
-    reference's real-time claim = a nominal 30 fps at 640x480 on CPU
-    (BASELINE.md), so the B-stream aggregate is compared against 30 and
-    the 720p row against 30 * (640*480)/(1280*720) = 10 fps."""
+    single-stream row.  vs_baseline = aggregate device fps / measured
+    single-stream CPU fps (``cpu_fps`` from bench_vo_baseline — the
+    honest chip-vs-host comparison; the numpy VO does not scale past
+    one stream on the 2-core host anyway).  The 720p row gets its own
+    measured 720p CPU baseline."""
     import sys
     from boofcv_tpu.sfm import stereo_vo
     from boofcv_tpu.io import simulate
@@ -171,11 +184,11 @@ def bench_batched_vo(frames, cfg, K, baseline):
     print(json.dumps({
         "metric": "stereo_vo_agg_frames_per_s_per_chip_640x480_8stream",
         "value": round(agg_fps[8], 2), "unit": "frames/s",
-        "vs_baseline": round(agg_fps[8] / 30.0, 2)}))
+        "vs_baseline": round(agg_fps[8] / cpu_fps, 2)}))
     print(json.dumps({
         "metric": "stereo_vo_agg_frames_per_s_per_chip_640x480_16stream",
         "value": round(agg_fps[16], 2), "unit": "frames/s",
-        "vs_baseline": round(agg_fps[16] / 30.0, 2)}))
+        "vs_baseline": round(agg_fps[16] / cpu_fps, 2)}))
 
     # 1280x720 single stream
     H2, W2 = 720, 1280
@@ -215,10 +228,14 @@ def bench_batched_vo(frames, cfg, K, baseline):
     fps = T * reps / (time.perf_counter() - t0)
     print(f"# 720p-VO single stream: {fps:.1f} frames/s", file=sys.stderr,
           flush=True)
+    import bench_vo_baseline
+    cpu720, _ = bench_vo_baseline.measure_np_vo_fps(
+        f2, K2, baseline, max_frames=8,
+        log=lambda m: print(m + " (720p)", file=sys.stderr, flush=True))
     print(json.dumps({
         "metric": "stereo_vo_frames_per_s_per_chip_1280x720",
         "value": round(fps, 2), "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 2)}))
+        "vs_baseline": round(fps / cpu720, 2)}))
 
 
 def _window_ba_scene():
