@@ -9,6 +9,10 @@ histograms), OrientationHistogramSift.
 TPU design: the whole DoG stack for an octave is one [S, H, W] tensor;
 extrema = reduce-window over the 3x3x3 neighborhood; descriptors are
 batched gather + soft-binned scatter-adds over all keypoints at once.
+The octave ladder (SiftScaleSpace.java:51) is a Python-level unrolled
+loop — shapes halve per octave, so each octave is its own
+statically-shaped XLA subgraph and dead detection slots carry a
+``valid`` mask (fixed capacities, no dynamic shapes).
 """
 
 from __future__ import annotations
@@ -35,11 +39,18 @@ class SiftKeypoints(NamedTuple):
     valid: jnp.ndarray
 
 
-def gaussian_scale_stack(image, sigma0: float = 1.6, num_scales: int = 3):
-    """[S+3, H, W] Gaussian stack for one octave (SiftScaleSpace)."""
+def gaussian_scale_stack(image, sigma0: float = 1.6, num_scales: int = 3,
+                         assume_blurred: bool = False):
+    """[S+3, H, W] Gaussian stack for one octave (SiftScaleSpace).
+
+    ``assume_blurred=True`` treats ``image`` as already carrying sigma0
+    blur — the octave-ladder case, where each octave's base is the
+    previous stack's 2x-sigma level downsampled by two (so its blur is
+    exactly sigma0 at the new sampling rate; SiftScaleSpace.java:51
+    builds its next octave the same way)."""
     img = jnp.asarray(image, jnp.float32)
     k = 2.0 ** (1.0 / num_scales)
-    levels = [img if sigma0 <= 0 else blur_mod.gaussian(
+    levels = [img if sigma0 <= 0 or assume_blurred else blur_mod.gaussian(
         img, sigma=sigma0, border=BorderType.EXTENDED)]
     sigmas = [sigma0]
     cur_sigma = sigma0
@@ -53,12 +64,12 @@ def gaussian_scale_stack(image, sigma0: float = 1.6, num_scales: int = 3):
     return jnp.stack(levels), np.asarray(sigmas)
 
 
-def detect(image, max_features: int = 200, sigma0: float = 1.6,
-           num_scales: int = 3, contrast_threshold: float = 1.0,
-           edge_ratio: float = 10.0, border: int = 8) -> SiftKeypoints:
-    """Single-octave DoG extrema (SiftDetector.process).  Returns
-    keypoints with subpixel position and interpolated sigma."""
-    stack, sigmas = gaussian_scale_stack(image, sigma0, num_scales)
+def _detect_from_stack(stack, sigmas, max_features: int,
+                       contrast_threshold: float, edge_ratio: float,
+                       border: int) -> SiftKeypoints:
+    """DoG extrema for ONE octave's Gaussian stack (SiftDetector.process).
+    Returns keypoints with subpixel position and interpolated sigma, in
+    the stack's own pixel coordinates."""
     dog = stack[1:] - stack[:-1]                     # [S+2, H, W]
     s, h, w = dog.shape
 
@@ -101,6 +112,57 @@ def detect(image, max_features: int = 200, sigma0: float = 1.6,
         jnp.clip(si, 0, s - 1)]
     ys, xs = ex.subpixel_quadratic(flat_img, detn)
     return SiftKeypoints(ys, xs, sig, detn.scores, detn.valid)
+
+
+def _octave_ladder(image, num_octaves: int, sigma0: float, num_scales: int,
+                   min_size: int, first_octave: int = 0):
+    """Yield (octave_stack, octave_sigmas, scale_factor) per octave.
+
+    Octave o's base is octave o-1's 2x-sigma0 Gaussian level downsampled
+    by two (SiftScaleSpace.java:51) — so each base already carries
+    sigma0 of blur at its own sampling rate and the stack skips the
+    initial blur (``assume_blurred``).  ``first_octave=-1`` starts from
+    a 2x bilinear-upsampled image (the reference's doubled-input first
+    octave, SiftScaleSpace.java's firstOctave=-1): DoG extrema whose
+    sigma falls below sigma0*2^(1/S) sit on the scale-axis boundary of
+    octave 0 and are otherwise invisible.  Stops early when the image
+    gets too small for the detection border."""
+    base = jnp.asarray(image, jnp.float32)
+    if first_octave < -1 or first_octave > 0:
+        raise ValueError("first_octave must be -1 or 0")
+    if first_octave == -1:
+        h, w = base.shape
+        base = jax.image.resize(base, (2 * h, 2 * w), "linear")
+    assume = False
+    for o in range(first_octave, first_octave + num_octaves):
+        if min(base.shape) < min_size:
+            return
+        stack, sigmas = gaussian_scale_stack(base, sigma0, num_scales,
+                                             assume_blurred=assume)
+        yield stack, sigmas, 2.0 ** o
+        base = stack[num_scales][::2, ::2]
+        assume = True
+
+
+def detect(image, max_features: int = 200, sigma0: float = 1.6,
+           num_scales: int = 3, contrast_threshold: float = 1.0,
+           edge_ratio: float = 10.0, border: int = 8,
+           num_octaves: int = 1, first_octave: int = 0) -> SiftKeypoints:
+    """DoG extrema across ``num_octaves`` octaves (SiftDetector.process
+    over SiftScaleSpace.java:51's octave pyramid).  Keypoints come back
+    in FULL-RESOLUTION coordinates with full-range sigmas; capacity is
+    ``max_features`` per octave (fixed shapes — dead slots are masked
+    via ``valid``)."""
+    parts = []
+    for stack, sigmas, f in _octave_ladder(image, num_octaves, sigma0,
+                                           num_scales, 2 * border + 8,
+                                           first_octave):
+        kp = _detect_from_stack(stack, sigmas, max_features,
+                                contrast_threshold, edge_ratio, border)
+        parts.append(SiftKeypoints(kp.ys * f, kp.xs * f, kp.sigmas * f,
+                                   kp.scores, kp.valid))
+    return SiftKeypoints(*[jnp.concatenate(leaves)
+                           for leaves in zip(*parts)])
 
 
 def orientation_histogram(image, ys, xs, sigmas, num_bins: int = 36):
@@ -181,9 +243,32 @@ def describe(image, ys, xs, sigmas, angles, width_grid: int = 4,
     return desc / norm
 
 
-def detect_describe(image, max_features: int = 200):
-    """Convenience full pipeline: returns (keypoints, descriptors)."""
-    kp = detect(image, max_features)
-    ang = orientation_histogram(image, kp.ys, kp.xs, kp.sigmas)
-    desc = describe(image, kp.ys, kp.xs, kp.sigmas, ang)
-    return kp, desc
+def detect_describe(image, max_features: int = 200, num_octaves: int = 4,
+                    sigma0: float = 1.6, num_scales: int = 3,
+                    contrast_threshold: float = 1.0,
+                    edge_ratio: float = 10.0, border: int = 8,
+                    first_octave: int = 0):
+    """Full multi-octave pipeline: returns (keypoints, descriptors).
+
+    Orientation and the 4x4x8 descriptor are sampled AT OCTAVE
+    RESOLUTION (each octave's sigma0 Gaussian level), so descriptor
+    support scales with the keypoint — features survive the full
+    2^num_octaves scale range like the reference's
+    SiftScaleSpace.java:51 + DescribePointSift pairing, instead of
+    sampling ever-larger windows of the full-res image.  Keypoints come
+    back in full-resolution coordinates; capacity is ``max_features``
+    per octave with dead slots masked via ``valid``."""
+    kps, descs = [], []
+    for stack, sigmas, f in _octave_ladder(image, num_octaves, sigma0,
+                                           num_scales, 2 * border + 8,
+                                           first_octave):
+        kp = _detect_from_stack(stack, sigmas, max_features,
+                                contrast_threshold, edge_ratio, border)
+        base = stack[0]
+        ang = orientation_histogram(base, kp.ys, kp.xs, kp.sigmas)
+        desc = describe(base, kp.ys, kp.xs, kp.sigmas, ang)
+        kps.append(SiftKeypoints(kp.ys * f, kp.xs * f, kp.sigmas * f,
+                                 kp.scores, kp.valid))
+        descs.append(desc)
+    kp = SiftKeypoints(*[jnp.concatenate(leaves) for leaves in zip(*kps)])
+    return kp, jnp.concatenate(descs)

@@ -95,3 +95,55 @@ def test_dense_sift_grid():
     assert ys.shape[0] == desc.shape[0] > 10
     norms = np.linalg.norm(np.asarray(desc), axis=1)
     assert np.all(norms < 1.2)
+
+
+def test_sift_multi_octave_4x_scale_matching():
+    """The octave ladder must carry features across a 4x scale change
+    (SiftScaleSpace.java:51 parity) — the single-octave detector tops
+    out around 2x."""
+    rng = np.random.default_rng(4)
+    n = 10
+    pos = np.stack([rng.uniform(24, 104, n), rng.uniform(24, 104, n)], 1)
+    sgn = rng.choice([-1.0, 1.0], n)
+
+    def render(scale, h, w, sigma):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w), np.float32)
+        for (cy, cx), s in zip(pos * scale, sgn):
+            img += s * 200 * np.exp(
+                -0.5 * (((yy - cy) / sigma) ** 2 + ((xx - cx) / sigma) ** 2))
+        return img + rng.normal(0, 0.5, img.shape).astype(np.float32)
+
+    img1 = render(1.0, 128, 128, 2.0)
+    img2 = render(4.0, 512, 512, 8.0)
+    kp1, d1 = sift.detect_describe(jnp.asarray(img1), max_features=16,
+                                   contrast_threshold=3.0, num_octaves=4)
+    kp2, d2 = sift.detect_describe(jnp.asarray(img2), max_features=16,
+                                   contrast_threshold=3.0, num_octaves=4)
+    v1 = np.asarray(kp1.valid)
+    v2 = np.asarray(kp2.valid)
+    scores = associate.score_euclidean_sq(d1, d2)
+    # mask dead slots out of the association
+    scores = jnp.where(jnp.asarray(v1)[:, None] & jnp.asarray(v2)[None, :],
+                       scores, jnp.inf)
+    m = associate.associate_mutual(scores, max_error=0.6)
+    src = np.asarray(m.src)[np.asarray(m.valid)]
+    dst = np.asarray(m.dst)[np.asarray(m.valid)]
+    y1 = np.asarray(kp1.ys)[src]
+    x1 = np.asarray(kp1.xs)[src]
+    y2 = np.asarray(kp2.ys)[dst]
+    x2 = np.asarray(kp2.xs)[dst]
+    err = np.hypot(y2 - 4 * y1, x2 - 4 * x1)
+    good = err < 6.0
+    # >=80% of the true blobs recovered as correct cross-scale matches
+    hits = set()
+    for (gy, gx) in zip(y1[good], x1[good]):
+        d = np.linalg.norm(pos - [gy, gx], axis=1)
+        if d.min() < 4.0:
+            hits.add(int(d.argmin()))
+    assert len(hits) >= 8, (len(hits), len(src), int(good.sum()))
+    # sigma spans the octave range: matched img2 keypoints are ~4x bigger
+    sg1 = np.asarray(kp1.sigmas)[src][good]
+    sg2 = np.asarray(kp2.sigmas)[dst][good]
+    ratio = np.median(sg2 / sg1)
+    assert 2.5 < ratio < 6.5, ratio
