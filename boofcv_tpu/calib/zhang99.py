@@ -89,7 +89,10 @@ def extrinsics_from_homography(H, K):
     r3 = np.cross(r1, r2)
     t = A[:, 2] * s
     R = np.stack([r1, r2, r3], axis=1)
-    R = np.asarray(se3.project_to_so3(jnp.asarray(R)))
+    U, _, Vt = np.linalg.svd(R)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
     return R, t
 
 
@@ -98,26 +101,24 @@ def linear_radial_estimate(world_xy, obs, K, Rs, ts, obs_mask=None):
     (RadialDistortionEstimateLinear)."""
     K = np.asarray(K)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    rows, rhs = [], []
     w3 = np.concatenate([world_xy, np.zeros((world_xy.shape[0], 1))], 1)
-    for v in range(obs.shape[0]):
-        Xc = w3 @ Rs[v].T + ts[v]
-        xn = Xc[:, :2] / Xc[:, 2:]
-        r2 = np.sum(xn ** 2, axis=1)
-        u = fx * xn[:, 0] + cx
-        vv = fy * xn[:, 1] + cy
-        du = obs[v, :, 0] - u
-        dv = obs[v, :, 1] - vv
-        for i in range(world_xy.shape[0]):
-            if obs_mask is not None and not obs_mask[v, i]:
-                continue
-            rows.append([(u[i] - cx) * r2[i], (u[i] - cx) * r2[i] ** 2])
-            rhs.append(du[i])
-            rows.append([(vv[i] - cy) * r2[i], (vv[i] - cy) * r2[i] ** 2])
-            rhs.append(dv[i])
-    A = np.asarray(rows)
-    b = np.asarray(rhs)
-    k, *_ = np.linalg.lstsq(A, b, rcond=None)
+    Xc = np.einsum("vij,nj->vni", np.asarray(Rs), w3) \
+        + np.asarray(ts)[:, None]                            # [V,N,3]
+    xn = Xc[..., :2] / Xc[..., 2:]
+    r2 = np.sum(xn ** 2, axis=-1)                            # [V,N]
+    u = fx * xn[..., 0] + cx
+    vv = fy * xn[..., 1] + cy
+    du = obs[..., 0] - u
+    dv = obs[..., 1] - vv
+    # rows: [V,N,2(uv),2(k1 k2)], rhs: [V,N,2]
+    cu = np.stack([(u - cx) * r2, (u - cx) * r2 * r2], -1)
+    cv = np.stack([(vv - cy) * r2, (vv - cy) * r2 * r2], -1)
+    A = np.stack([cu, cv], axis=2)
+    b = np.stack([du, dv], axis=2)
+    if obs_mask is not None:
+        A = A[obs_mask]
+        b = b[obs_mask]
+    k, *_ = np.linalg.lstsq(A.reshape(-1, 2), b.reshape(-1), rcond=None)
     return float(k[0]), float(k[1])
 
 
@@ -144,6 +145,129 @@ def _project_all(params, world_xy, n_views):
 
     xis = params[7:].reshape(n_views, 6)
     return jax.vmap(one_view)(xis)
+
+
+def _brown_project_and_jac(intr, Rs, ts, w3):
+    """Batched ANALYTIC Brown-pinhole projection + jacobians for every
+    (view, corner) at once (the reference likewise differentiates
+    analytically — CalibrationPlanarGridZhang99.java:122 wires
+    Zhang99OptimizationJacobian into the LM).
+
+    intr: [7] = (fx, fy, skew, cx, cy, k1, k2); Rs: [V,3,3]; ts: [V,3];
+    w3: [N,3] planar target points (z=0).
+
+    Pose jacobians are taken w.r.t. a LEFT-multiplied se3 perturbation
+    (R <- exp(dw) R, t <- exp(dw) t + dv), the same local
+    parameterization as geo.ba._jacobians — so at the linearization
+    point dXc/dw = -hat(Xc), dXc/dv = I, with no exp-map second-order
+    terms to differentiate.
+
+    Returns (proj [V,N,2], Ji [V,N,2,7], Jx [V,N,2,6]).
+    """
+    fx, fy, skew, cx, cy, k1, k2 = intr
+    Xc = jnp.einsum("vij,nj->vni", Rs, w3) + ts[:, None]     # [V,N,3]
+    z = Xc[..., 2]
+    iz = 1.0 / z
+    xn = Xc[..., :2] * iz[..., None]                         # [V,N,2]
+    r2 = jnp.sum(xn * xn, axis=-1)                           # [V,N]
+    d = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = xn * d[..., None]
+    u = fx * xd[..., 0] + skew * xd[..., 1] + cx
+    v = fy * xd[..., 1] + cy
+    proj = jnp.stack([u, v], axis=-1)
+
+    # intrinsics jacobian (closed form)
+    zero = jnp.zeros_like(r2)
+    one = jnp.ones_like(r2)
+    du = jnp.stack([xd[..., 0], zero, xd[..., 1], one, zero,
+                    (fx * xn[..., 0] + skew * xn[..., 1]) * r2,
+                    (fx * xn[..., 0] + skew * xn[..., 1]) * r2 * r2], -1)
+    dv = jnp.stack([zero, xd[..., 1], zero, zero, one,
+                    fy * xn[..., 1] * r2,
+                    fy * xn[..., 1] * r2 * r2], -1)
+    Ji = jnp.stack([du, dv], axis=-2)                        # [V,N,2,7]
+
+    # pixel <- distorted <- normalized <- camera-point chain
+    # dxd/dxn = d*I + xn (k1 + 2 k2 r2) * 2 xn^T
+    g = 2.0 * (k1 + 2.0 * k2 * r2)                           # [V,N]
+    Dxd = d[..., None, None] * jnp.eye(2, dtype=d.dtype) \
+        + g[..., None, None] * xn[..., :, None] * xn[..., None, :]
+    Kpix = jnp.stack([jnp.stack([fx, skew]), jnp.stack([0.0 * fx, fy])])
+    # dxn/dXc = [[1/z, 0, -x/z^2], [0, 1/z, -y/z^2]]
+    A0 = jnp.stack([
+        jnp.stack([iz, zero, -Xc[..., 0] * iz * iz], -1),
+        jnp.stack([zero, iz, -Xc[..., 1] * iz * iz], -1)], -2)
+    A = jnp.einsum("ij,vnjk,vnkl->vnil", Kpix, Dxd, A0)      # [V,N,2,3]
+    Jx = jnp.concatenate([-jnp.einsum("vnij,vnjk->vnik", A, se3.hat(Xc)),
+                          A], axis=-1)                       # [V,N,2,6]
+    return proj, Ji, Jx
+
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("iterations", "zero_skew"))
+def _refine_brown(intr0, Rs0, ts0, w3, obsj, maskj, iterations: int,
+                  zero_skew: bool):
+    """Damped-GN refine of (intrinsics, per-view poses), jitted and
+    cached on shapes: the whole LM loop is ONE compiled program (the
+    uncached lax.scan re-traced + re-lowered ~200 ms per call).
+
+    Block-sparse assembly: view v's corners depend only on the 7
+    intrinsics and its own 6-DoF pose, so the per-view pose blocks are
+    Schur-eliminated and only a 7x7 reduced system is ever factored.
+    """
+    from boofcv_tpu.geo.smalllinalg import solve_spd
+
+    def cost_of(state):
+        intr, R_, t_ = state
+        proj, _, _ = _brown_project_and_jac(intr, R_, t_, w3)
+        r = jnp.where(maskj, proj - obsj, 0.0)
+        return jnp.sum(r * r)
+
+    def gn_step(carry, _):
+        state, lam = carry
+        intr, R_, t_ = state
+        proj, Ji, Jx = _brown_project_and_jac(intr, R_, t_, w3)
+        r = jnp.where(maskj, proj - obsj, 0.0)
+        Ji = jnp.where(maskj[..., None], Ji, 0.0)
+        Jx = jnp.where(maskj[..., None], Jx, 0.0)
+        if zero_skew:
+            Ji = Ji.at[..., 2].set(0.0)
+        eye7 = jnp.eye(7, dtype=r.dtype)
+        eye6 = jnp.eye(6, dtype=r.dtype)
+        Hii = jnp.einsum("vnki,vnkj->ij", Ji, Ji) + lam * eye7
+        Hxx = jnp.einsum("vnki,vnkj->vij", Jx, Jx) + lam * eye6
+        Hix = jnp.einsum("vnki,vnkj->vij", Ji, Jx)           # [V,7,6]
+        gi = jnp.einsum("vnki,vnk->i", Ji, r)
+        gx = jnp.einsum("vnki,vnk->vi", Jx, r)
+        Hxx_inv = jnp.linalg.inv(Hxx)                        # [V,6,6]
+        Heff = Hii - jnp.einsum("vij,vjk,vlk->il", Hix, Hxx_inv, Hix)
+        geff = gi - jnp.einsum("vij,vjk,vk->i", Hix, Hxx_inv, gx)
+        di = -solve_spd(Heff, geff)
+        if zero_skew:
+            di = di.at[2].set(0.0)
+        dx = -jnp.einsum("vij,vj->vi",
+                         Hxx_inv, gx + jnp.einsum("vji,j->vi", Hix, di))
+        dR, dt = jax.vmap(se3.exp_se3)(dx)
+        cand = (intr + di, jnp.einsum("vij,vjk->vik", dR, R_),
+                jnp.einsum("vij,vj->vi", dR, t_) + dt)
+        c0 = jnp.sum(r * r)
+        c1 = cost_of(cand)
+        good = jnp.isfinite(c1) & (c1 < c0)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(jnp.reshape(good, (1,) * a.ndim), b, a),
+            state, cand)
+        lam = jnp.clip(jnp.where(good, lam * 0.3, lam * 10.0), 1e-10, 1e6)
+        return (state, lam), jnp.where(good, c1, c0)
+
+    (state, _), _ = jax.lax.scan(gn_step, ((intr0, Rs0, ts0),
+                                           jnp.float64(1e-3)),
+                                 None, length=iterations)
+    intr, Rs_out, ts_out = state
+    proj, _, _ = _brown_project_and_jac(intr, Rs_out, ts_out, w3)
+    return intr, Rs_out, ts_out, proj
 
 
 def _calibrate_mono_planar_impl(world_xy, obs, iterations: int = 30,
@@ -193,60 +317,21 @@ def _calibrate_mono_planar_impl(world_xy, obs, iterations: int = 30,
     k1, k2 = linear_radial_estimate(world_xy, obs, K0, Rs, ts,
                                     obs_mask=obs_mask)
 
-    # pack parameters and refine with damped GN
-    xi0 = []
-    for v in range(V):
-        # exp_se3(xi) ~ (R, t): log of rotation, and solve V(w) v = t — for
-        # initialization use (log R, t) which exp_se3 maps close enough,
-        # then GN absorbs the difference
-        w = np.asarray(se3.log_so3(jnp.asarray(Rs[v])))
-        xi0.append(np.concatenate([w, ts[v]]))
-    params0 = jnp.asarray(np.concatenate(
-        [[K0[0, 0], K0[1, 1], K0[0, 1], K0[0, 2], K0[1, 2], k1, k2],
-         np.concatenate(xi0)]))
+    # nonlinear refine: batched analytic jacobians + Schur elimination
+    # of the per-view pose blocks (see _refine_brown).
+    intr0 = jnp.asarray([K0[0, 0], K0[1, 1], K0[0, 1], K0[0, 2], K0[1, 2],
+                         k1, k2])
     wj = jnp.asarray(world_xy)
-    obsj = jnp.asarray(obs)
-
-    maskj = jnp.asarray(obs_mask)[..., None]
-
-    def residual(p):
-        proj = _project_all(p, wj, V)
-        return jnp.where(maskj, proj - obsj, 0.0).ravel()
-
-    def gn_step(carry, _):
-        p, lam = carry
-        r = residual(p)
-        J = jax.jacfwd(residual)(p)
-        H = J.T @ J
-        g = J.T @ r
-        n = H.shape[0]
-        from boofcv_tpu.geo.smalllinalg import solve_spd
-        step = -solve_spd(H + lam * jnp.eye(n, dtype=H.dtype), g)
-        if zero_skew:
-            step = step.at[2].set(0.0)
-        p_new = p + step
-        c0 = jnp.sum(r * r)
-        c1 = jnp.sum(residual(p_new) ** 2)
-        good = jnp.isfinite(c1) & (c1 < c0)
-        p = jnp.where(good, p_new, p)
-        lam = jnp.clip(jnp.where(good, lam * 0.3, lam * 10.0), 1e-10, 1e6)
-        return (p, lam), jnp.where(good, c1, c0)
-
-    (p, _), _ = jax.lax.scan(gn_step, (params0, jnp.float64(1e-3)), None,
-                             length=iterations)
-    p = np.asarray(p)
-    fx, fy, skew, cx, cy, k1, k2 = p[:7]
+    w3 = jnp.concatenate([wj, jnp.zeros((wj.shape[0], 1), wj.dtype)], 1)
+    intr, Rs_out, ts_out, proj = _refine_brown(
+        intr0, jnp.asarray(Rs), jnp.asarray(ts), w3, jnp.asarray(obs),
+        jnp.asarray(obs_mask)[..., None], iterations, zero_skew)
+    fx, fy, skew, cx, cy, k1, k2 = np.asarray(intr)
     K = np.array([[fx, skew, cx], [0, fy, cy], [0, 0, 1.0]])
-    Rs_out, ts_out = [], []
-    for v in range(V):
-        R, t = se3.exp_se3(jnp.asarray(p[7 + 6 * v: 13 + 6 * v]))
-        Rs_out.append(np.asarray(R))
-        ts_out.append(np.asarray(t))
-    proj = np.asarray(_project_all(jnp.asarray(p), wj, V))
-    err2 = np.sum((proj - obs) ** 2, axis=-1)
+    err2 = np.sum((np.asarray(proj) - obs) ** 2, axis=-1)
     rmse = float(np.sqrt(np.mean(err2[obs_mask])))
     return CalibrationResult(K, (float(k1), float(k2)),
-                             np.stack(Rs_out), np.stack(ts_out), rmse)
+                             np.asarray(Rs_out), np.asarray(ts_out), rmse)
 
 
 def _project_all_omni(params, world_xy, n_views):
