@@ -50,65 +50,49 @@ def pad_points_for_mesh(prob: BAProblem, n_shards: int) -> BAProblem:
     )
 
 
-def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int,
-                       axis: str = SHARD_AXIS):
-    """Distributed reduced-camera solve without REDUCING the full
-    [V, V, D, D] system onto any device.
-
-    ``S_local`` is this shard's un-reduced contribution; ``psum_scatter``
-    leaves each device one block-row slab [V/n, V, D, D] of the *summed*
-    system.  The damped, gauge-fixed SPD system is then solved by
-    conjugate gradients with a block-Jacobi (per-view-diagonal)
-    preconditioner: one tiled ``all_gather`` of [V, D] per matvec —
-    O(V D) traffic per iteration vs the O(V^2 D^2) full psum.
-
-    Memory note: each device still materializes its own un-reduced
-    [V, V, D, D] contribution (and the [P/n, L, L, D, D] pair tensor)
-    before the psum_scatter — peak memory is NOT reduced vs the cholesky
-    path; what shrinks is post-reduction storage and all-reduce traffic.
-    A destination-row-sharded Schur fill (ring reduce-scatter of pair
-    contributions) would cut the peak too — deliberately NOT built: it
-    needs an all-to-all of the W/Y factors keyed by destination view
-    (each point's track spans ~L rows), and at V<=2k the transient
-    full-S contribution is <=576 MB f32/device with the scatter
-    overlapping the solve, so the extra collective buys nothing until V
-    reaches several thousand (measured V=1000/100k: PCG parity with the
-    exact path and 2.8x its speed — PROFILE.md "BA at scale").
-    Runs inside shard_map on the 1D mesh; ``axis`` is the mesh's sole
-    axis name.
-    """
-    V, _, D, _ = S_local.shape
+def _solve_reduced_pcg_kvjw(T_local, gv_t, fixed_views, lam, iters: int,
+                            axis: str = SHARD_AXIS):
+    """Row-scattered block-Jacobi PCG on the TPU-tileable ``kvjw``
+    layout (``T[k, v, j, w] = S[v, w, k, j]``, see
+    ba._local_system_kvjw): psum_scatter leaves each device a view-row
+    slab ``[D, V/n, D, V]`` of the summed system; matvec = one local
+    einsum + one tiled all_gather of [V, D] per CG iteration — and no
+    tensor in the solve ever carries a trailing dim of D, so nothing
+    pads 28x on the (8, 128) tile.  This is the solver that fits
+    V=1000/100k on ONE chip's HBM where both the dense Cholesky and a
+    [V,V,D,D]-layout PCG OOM (measured: 27.7 G requested of 15.75 G)."""
+    D, V = T_local.shape[0], T_local.shape[1]
     n = jax.lax.psum(1, axis)
     rows = V // n
-    S_rows = jax.lax.psum_scatter(S_local, axis, scatter_dimension=0,
-                                  tiled=True)                 # [rows, V, D, D]
+    T = jax.lax.psum_scatter(T_local, axis, scatter_dimension=1,
+                             tiled=True)                  # [D, rows, D, V]
     off = jax.lax.axis_index(axis) * rows
-    row_ids = off + jnp.arange(rows)
+    ar = jnp.arange(rows)
+    row_ids = off + ar
 
-    pose_col = (jnp.arange(D) < 6).astype(S_rows.dtype)
-    frozen = fixed_views.astype(S_rows.dtype)[:, None] * pose_col[None, :]
-    free_vd = 1.0 - frozen                                    # [V, D]
+    pose_col = (jnp.arange(D) < 6).astype(T.dtype)
+    frozen = fixed_views.astype(T.dtype)[:, None] * pose_col[None, :]
+    free_vd = 1.0 - frozen                                # [V, D]
     free_rows = jax.lax.dynamic_slice_in_dim(free_vd, off, rows)
     frozen_rows = jax.lax.dynamic_slice_in_dim(frozen, off, rows)
 
-    # damping on the global diagonal blocks (local columns off..off+rows)
-    diag = S_rows[jnp.arange(rows), row_ids] \
-        + lam * jnp.eye(D, dtype=S_rows.dtype)
-    S_rows = S_rows.at[jnp.arange(rows), row_ids].set(diag)
-    # gauge fixing: zero frozen rows/cols, identity on frozen diagonal
-    S_rows = S_rows * free_rows[:, None, :, None] * free_vd[None, :, None, :]
-    diag = S_rows[jnp.arange(rows), row_ids] \
-        + jax.vmap(jnp.diag)(frozen_rows)
-    S_rows = S_rows.at[jnp.arange(rows), row_ids].set(diag)
+    # damping on the global diagonal blocks; T[:, r, :, off+r] is the
+    # [rows, D, D] diagonal-block view (advanced dims move to front)
+    eye = jnp.eye(D, dtype=T.dtype)
+    T = T.at[:, ar, :, row_ids].add(
+        jnp.broadcast_to(lam * eye, (rows, D, D)))
+    # gauge fixing: zero frozen rows/cols, identity on the frozen diagonal
+    T = T * free_rows.T[:, :, None, None] * free_vd.T[None, None, :, :]
+    diag = T[:, ar, :, row_ids] + jax.vmap(jnp.diag)(frozen_rows)
+    T = T.at[:, ar, :, row_ids].set(diag)
     b = gv_t * free_vd
 
-    # block-Jacobi preconditioner from the (SPD) diagonal blocks
     w, vv = jnp.linalg.eigh(diag)
     w = jnp.maximum(w, 1e-12)
     Minv = jnp.einsum("rik,rk,rjk->rij", vv, 1.0 / w, vv)
 
     def matvec(x):
-        y = jnp.einsum("rvij,vj->ri", S_rows, x)
+        y = jnp.einsum("krjw,wj->rk", T, x)
         return jax.lax.all_gather(y, axis, tiled=True)
 
     def precond(z):
@@ -121,10 +105,7 @@ def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int,
     z = precond(r)
     p = z
     rz = jnp.sum(r * z)
-
-    # dtype-aware guard: a 1e-300 literal underflows to 0 in f32 (the
-    # fast path), which would turn the guard into 0/0 = NaN
-    tiny = jnp.asarray(jnp.finfo(S_rows.dtype).tiny, S_rows.dtype)
+    tiny = jnp.asarray(jnp.finfo(T.dtype).tiny, T.dtype)
 
     def body(_, st):
         x, r, p, rz = st
@@ -140,7 +121,6 @@ def _solve_reduced_pcg(S_local, gv_t, fixed_views, lam, iters: int,
 
     x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
     return x * free_vd
-
 
 
 def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
@@ -160,10 +140,12 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         by distributed block-Jacobi-preconditioned conjugate gradients:
         matvec = local row-block product + one tiled ``all_gather`` of
         [V, D] per iteration.  Cuts all-reduce traffic O(V^2 D^2) ->
-        O(V^2 D^2 / n) and post-reduction storage by n; NOTE peak memory
-        still includes each device's un-reduced local [V, V, D, D]
-        contribution before the scatter (see _solve_reduced_pcg).
-        1D meshes only.
+        O(V^2 D^2 / n) and post-reduction storage by n.  Assembly and
+        solve both run in the ``kvjw`` layout (ba._local_system_kvjw)
+        with the Schur fill accumulated over point chunks, so peak
+        memory is one [D, V, D, V] slab (~144 MB f32 at V=1000) plus a
+        chunk — V=1000/100k fits and solves on ONE v5e chip where the
+        dense path OOMs (measured).  1D meshes only.
     """
     n_shards = mesh.devices.size
     if reduced_solver == "pcg" and len(mesh.axis_names) != 1:
@@ -236,20 +218,25 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         Jv, Jp, r = ba._jacobians(local)
         # Jacobi scaling with the globally-psummed GN diagonal so every
         # shard scales the view columns identically (ba._scale_jacobians);
-        # segment sum as one-hot matmul — TPU scatter-add is serialized
-        D = Jv.shape[-1]
-        O = jax.nn.one_hot(obs_view, V, dtype=Jv.dtype)      # [P, L, V]
-        hvv_diag = jnp.einsum("plv,pld->vd", O, jnp.sum(Jv * Jv, axis=2))
+        # segment sum as one-hot matmul — TPU scatter-add is serialized.
+        # Chunked so the one-hot temp stays bounded at scale.
+        hvv_diag = ba.hvv_diag_chunked(obs_view, Jv, V)
         hvv_diag = jax.lax.psum(hvv_diag, axes)
         Jv, Jp, s_v, s_p = ba._scale_jacobians(obs_view, Jv, Jp, V,
                                                hvv_diag=hvv_diag)
-        S, gv_t, Hpp_inv, W, gp = ba._local_system(
-            obs_view, Jv, Jp, r, lam, V, solve_dtype=solve_dtype)
-        gv_t = jax.lax.psum(gv_t, axes)
         if reduced_solver == "pcg":
-            dv = _solve_reduced_pcg(S, gv_t, fixed_views, lam,
-                                    pcg_iterations, axis=axes[0])
+            # at-scale path: chunked [D, V, D, V] assembly + row-scattered
+            # PCG — no [*, D, D]-trailing tensors anywhere (28x tile
+            # padding OOMed the [V,V,D,D] layout on-chip at V=1000)
+            T, gv_t, Hpp_inv, W, gp = ba._local_system_kvjw(
+                obs_view, Jv, Jp, r, lam, V, solve_dtype=solve_dtype)
+            gv_t = jax.lax.psum(gv_t, axes)
+            dv = _solve_reduced_pcg_kvjw(T, gv_t, fixed_views, lam,
+                                         pcg_iterations, axis=axes[0])
         else:
+            S, gv_t, Hpp_inv, W, gp = ba._local_system(
+                obs_view, Jv, Jp, r, lam, V, solve_dtype=solve_dtype)
+            gv_t = jax.lax.psum(gv_t, axes)
             # one all-reduce for the full reduced camera system
             S = jax.lax.psum(S, axes)
             dv = ba._solve_reduced(S, gv_t, fixed_views, lam,
@@ -286,11 +273,20 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         return (new_state, lam_n), jnp.where(good, c1, c0)
 
     state0 = (prob.R, prob.t, prob.intr, prob.points)
-    (state, _), costs = jax.lax.scan(
-        step, (state0, jnp.asarray(lam0, dtype)), None, length=iterations)
+    # trace the WHOLE loop under 'highest' matmul precision, exactly like
+    # ba._optimize_impl: lm_step already forces it internally, but
+    # _apply_step (rotation compositions) and cost_state (reprojection
+    # einsums) otherwise run at the TPU's bf16-grade f32 default, which
+    # floors the achievable cost ~10x high (observed on-chip at V=500:
+    # PCG final cost 1.97e-1 vs 2.08e-2 dense; CPU — where matmul
+    # precision is ignored — showed exact parity)
+    with jax.default_matmul_precision("highest"):
+        (state, _), costs = jax.lax.scan(
+            step, (state0, jnp.asarray(lam0, dtype)), None,
+            length=iterations)
+        final = cost_state(state)
     out = prob._replace(R=state[0], t=state[1], intr=state[2],
                         points=state[3])
-    final = cost_state(state)
     if out.R.shape[0] != V_orig:   # trim pcg view padding
         out = out._replace(R=out.R[:V_orig], t=out.t[:V_orig],
                            intr=out.intr[:V_orig],

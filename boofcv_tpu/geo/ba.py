@@ -297,6 +297,116 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int,
     return S, gv_t, Hpp_inv, W, gp
 
 
+def hvv_diag_chunked(obs_view, Jv, num_views: int, chunk: int = 8192):
+    """[V, D] Gauss-Newton view diagonal as a chunked one-hot matmul.
+
+    The one-shot formulation materializes a [P, L, V] one-hot (2.4 GB at
+    P=100k / V=1k); scanning point chunks bounds the temp at
+    [chunk, L, V] while staying on the MXU (TPU scatter-add is
+    element-serialized)."""
+    P, L = obs_view.shape
+    D = Jv.shape[-1]
+    V = num_views
+    q = jnp.sum(Jv * Jv, axis=2)                             # [P, L, D]
+    pad = (-P) % chunk
+    if pad:
+        obs_view = jnp.concatenate(
+            [obs_view, jnp.zeros((pad, L), obs_view.dtype)])
+        q = jnp.concatenate([q, jnp.zeros((pad, L, D), q.dtype)])
+    nc = obs_view.shape[0] // chunk
+
+    def body(acc, inp):
+        ov, qc = inp
+        O = jax.nn.one_hot(ov, V, dtype=q.dtype)             # [C, L, V]
+        return acc + jnp.einsum("plv,pld->vd", O, qc), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((V, D), q.dtype),
+        (obs_view.reshape(nc, chunk, L), q.reshape(nc, chunk, L, D)))
+    return acc
+
+
+def _local_system_kvjw(obs_view, Jv, Jp, r, lam, num_views: int,
+                       solve_dtype=None, chunk: int = 8192):
+    """At-scale variant of :func:`_local_system` in a TPU-tileable layout.
+
+    Returns (T [D, V, D, V], gv_t [V, D], Hpp_inv, W, gp) where
+    ``T[k, v, j, w] = S[v, w, k, j]`` (Hvv included on the v == w
+    diagonal).  Two scale problems with the [V, V, D, D] layout on TPU:
+
+    * trailing dims of size D=6 land on the (8, 128) vector tile and pad
+      ~28x — the [V,V,D,D] reduced system alone inflates to 4 GB at
+      V=1000 and the [P,L,L,D,D] scatter operand to 13.7 GB (measured
+      OOM: 27.7 G requested of 15.75 G HBM);
+    * the gathered one-hot factors [P, V, 3, D] cost P*V*18 floats in
+      one piece.
+
+    Fix: keep V (large, tile-friendly) axes trailing everywhere and
+    accumulate the Schur fill over POINT CHUNKS with ``lax.scan`` — per
+    chunk one [3D, V] gather-as-matmul per factor and one
+    (p,i)-contracted einsum whose output [D, V, D, V] pads only ~1.3x.
+    Peak temp is bounded by the chunk, not P.
+    """
+    P, L = obs_view.shape
+    V = num_views
+    D = Jv.shape[-1]
+    if solve_dtype is None:
+        solve_dtype = Jp.dtype
+    pad = (-P) % chunk
+    if pad:
+        z = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        obs_view, Jv, Jp, r = z(obs_view), z(Jv), z(Jp), z(r)
+    Pp = obs_view.shape[0]
+    nc = Pp // chunk
+    eyeP = jnp.eye(3, dtype=solve_dtype)
+    lam_s = jnp.asarray(lam, solve_dtype) + 1e-12
+
+    from boofcv_tpu.geo.smalllinalg import inv3
+
+    def body(carry, inp):
+        T, Hvv, gv_t = carry
+        ov, jv, jp, rc = inp                 # [C,L], [C,L,2,D], [C,L,2,3]
+        C = ov.shape[0]
+        Hpp = jnp.einsum("plki,plkj->pij", jp, jp)
+        W = jnp.einsum("plki,plkj->plij", jp, jv)            # [C, L, 3, D]
+        gp = -jnp.einsum("plki,plk->pi", jp, rc)
+        gv_obs = -jnp.einsum("plki,plk->pli", jv, rc)
+        Hpp_inv = inv3(Hpp.astype(solve_dtype) + lam_s * eyeP
+                       ).astype(Hpp.dtype)
+        Y = jnp.einsum("pij,pljk->plik", Hpp_inv, W)
+        hp = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
+        corr = jnp.einsum("plij,pi->plj", W, hp)
+        O = jax.nn.one_hot(ov, V, dtype=Hpp.dtype)           # [C, L, V]
+        # gather-as-matmul with the SMALL (3D) axis leading and V
+        # trailing: [C, 3D, V] pads ~1.3x (vs 21x for [..., V, D])
+        Wt = jnp.einsum("pla,plv->pav",
+                        W.reshape(C, L, 3 * D), O).reshape(C, 3, D, V)
+        Yt = jnp.einsum("pla,plv->pav",
+                        Y.reshape(C, L, 3 * D), O).reshape(C, 3, D, V)
+        T = T - jnp.einsum("pikv,pijw->kvjw", Wt, Yt)
+        Hvv_obs = jnp.einsum("plki,plkj->plij", jv, jv)
+        Hvv = Hvv + jnp.einsum("plv,plij->vij", O, Hvv_obs)
+        gv_t = gv_t + jnp.einsum("plv,pli->vi", O, gv_obs - corr)
+        return (T, Hvv, gv_t), (Hpp_inv, W, gp)
+
+    init = (jnp.zeros((D, V, D, V), Jp.dtype),
+            jnp.zeros((V, D, D), Jp.dtype),
+            jnp.zeros((V, D), Jp.dtype))
+    (T, Hvv, gv_t), (Hpp_inv, W, gp) = jax.lax.scan(
+        body, init,
+        (obs_view.reshape(nc, chunk, L),
+         Jv.reshape(nc, chunk, L, 2, D),
+         Jp.reshape(nc, chunk, L, 2, 3),
+         r.reshape(nc, chunk, L, 2)))
+    ar = jnp.arange(V)
+    T = T.at[:, ar, :, ar].add(Hvv)          # indexed view is [V, k, j]
+    Hpp_inv = Hpp_inv.reshape(Pp, 3, 3)[:P]
+    W = W.reshape(Pp, L, 3, D)[:P]
+    gp = gp.reshape(Pp, 3)[:P]
+    return T, gv_t, Hpp_inv, W, gp
+
+
 def _solve_reduced(S, gv_t, fixed_views, lam, solve_dtype=None,
                    refine_steps: int = 0):
     """Damp + gauge-fix the (already psummed) reduced system and solve.

@@ -60,6 +60,16 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--pcg-iters", type=int, default=100)
     ap.add_argument("--skip-dense", action="store_true")
+    ap.add_argument("--single", action="store_true",
+                    help="run the sharded legs even on a 1-device mesh "
+                         "(the real-chip PCG-at-scale config: psum/"
+                         "psum_scatter/all_gather degenerate to identity, "
+                         "leaving the row-slab PCG solve — the path that "
+                         "avoids the dense [VD,VD] Cholesky workspace "
+                         "that OOMs the chip at V=1000)")
+    ap.add_argument("--skip-cholesky", action="store_true",
+                    help="skip the sharded-cholesky leg (it replicates "
+                         "the full reduced system — OOMs where dense does)")
     args = ap.parse_args()
 
     import os
@@ -67,7 +77,9 @@ def main():
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_force_host_platform_device_count=8")
     import jax
-    if args.mesh:
+    if args.mesh or os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # honor an explicit CPU request even though the site hook pins
+        # the tunneled TPU platform
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from boofcv_tpu.geo import ba
@@ -108,12 +120,15 @@ def main():
 
     mesh = make_mesh()
     n = mesh.devices.size
-    if n < 2:
+    if n < 2 and not args.single:
         print("single-device backend: skipping sharded leg "
-              "(rerun with --mesh)", file=sys.stderr)
+              "(rerun with --mesh, or --single for the 1-device PCG row)",
+              file=sys.stderr)
         return
-    for solver, extra in (("pcg", {"pcg_iterations": args.pcg_iters}),
-                          ("cholesky", {})):
+    legs = [("pcg", {"pcg_iterations": args.pcg_iters})]
+    if not args.skip_cholesky:
+        legs.append(("cholesky", {}))
+    for solver, extra in legs:
         t0 = time.perf_counter()
         out, info = ba_sharded.optimize_sharded(
             prob, mesh, iterations=args.iters, reduced_solver=solver,
@@ -129,6 +144,19 @@ def main():
         print(f"{n}-device {solver} ({args.views}v/{args.points}p/"
               f"{args.iters}it): {ms:.0f} ms (compile {compile_s:.0f}s), "
               f"cost {float(info['final_cost']):.4e}")
+        try:
+            st = jax.local_devices()[0].memory_stats() or {}
+            used = st.get("bytes_in_use") or st.get("peak_bytes_in_use")
+            peak = st.get("peak_bytes_in_use")
+            lim = st.get("bytes_limit")
+            if used is not None:
+                print(f"  hbm: in_use {used/2**30:.2f} GiB, "
+                      f"peak {0 if peak is None else peak/2**30:.2f} GiB"
+                      + ("" if lim is None
+                         else f", limit {lim/2**30:.2f} GiB"),
+                      file=sys.stderr)
+        except Exception as e:          # memory_stats is backend-optional
+            print(f"  hbm stats unavailable: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
