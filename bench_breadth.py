@@ -654,11 +654,93 @@ def bench_flow():
         "vs_baseline": round(cpu / ms, 2)}))
 
 
+def _np_canny(img, low, high, radius=2):
+    """Vectorized numpy Canny, same spec as feature.canny: Gaussian blur,
+    Sobel, 4-sector direction-discretized NMS via shifted comparisons,
+    hysteresis as scipy label + component membership (the strongest
+    practical CPU formulation — the reference's flood trace is scalar,
+    HysteresisEdgeTraceMark.java:37)."""
+    from scipy import ndimage as ndi
+
+    sigma = (2 * radius + 1) / 6.0          # FactoryKernelGaussian rule
+    b = ndi.gaussian_filter(img.astype(np.float64), sigma, radius=radius,
+                            mode="nearest")
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float64) * 0.25
+    dx = ndi.convolve(b, kx[::-1, ::-1], mode="nearest")
+    dy = ndi.convolve(b, kx.T[::-1, ::-1], mode="nearest")
+    inten = np.hypot(dx, dy)
+    theta = np.arctan2(dy, dx)
+    theta = np.where(theta < 0, theta + np.pi, theta)
+    sector = (np.floor((theta + np.pi / 8) / (np.pi / 4)).astype(int)) % 4
+
+    def shift(a, dyy, dxx):
+        out = np.zeros_like(a)
+        ys = slice(max(dyy, 0), a.shape[0] + min(dyy, 0))
+        xs = slice(max(dxx, 0), a.shape[1] + min(dxx, 0))
+        ys2 = slice(max(-dyy, 0), a.shape[0] + min(-dyy, 0))
+        xs2 = slice(max(-dxx, 0), a.shape[1] + min(-dxx, 0))
+        out[ys2, xs2] = a[ys, xs]
+        return out
+
+    pairs = [((0, -1), (0, 1)), ((-1, -1), (1, 1)),
+             ((-1, 0), (1, 0)), ((-1, 1), (1, -1))]
+    keep = np.zeros(img.shape, bool)
+    for s, (a, c) in enumerate(pairs):
+        ok = (inten > shift(inten, *a)) & (inten >= shift(inten, *c))
+        keep |= (sector == s) & ok
+    nms = np.where(keep, inten, 0.0)
+    weak = nms >= low
+    strong = nms >= high
+    lab, nlab = ndi.label(weak, structure=np.ones((3, 3), bool))
+    good = np.zeros(nlab + 1, bool)
+    good[np.unique(lab[strong])] = True
+    good[0] = False
+    return good[lab]
+
+
+def bench_canny():
+    from boofcv_tpu.feature import canny as cn
+
+    from scipy import ndimage as ndi
+    rng = np.random.default_rng(0)
+    base = ndi.gaussian_filter(rng.normal(0, 1, (H, W)), 3.0)
+    imgs = [(120 + 60 * ndi.shift(base, (0, 3 * s), order=1)
+             / base.std()).astype(np.float32) for s in range(3)]
+    inputs = [(jnp.asarray(im),) for im in imgs]
+    low, high = 2.0, 8.0
+
+    f = jax.jit(lambda im: cn.canny(im, low, high))
+    ms = _time_device(f, inputs)
+    mask_dev = np.asarray(f(*inputs[0])) > 0
+    _log(f"# canny device: {ms:.1f} ms ({int(mask_dev.sum())} edge px)")
+
+    t0 = time.perf_counter()
+    mask_np = _np_canny(imgs[0], low, high)
+    cpu = (time.perf_counter() - t0) * 1000.0
+    inter = (mask_dev & mask_np).sum()
+    union = (mask_dev | mask_np).sum()
+    _log(f"# canny numpy baseline: {cpu:.1f} ms ({int(mask_np.sum())} px, "
+         f"IoU {inter / max(union, 1):.2f})")
+    print(json.dumps({
+        "metric": "canny_ms_640x480",
+        "value": round(ms, 2), "unit": "ms",
+        "vs_baseline": round(cpu / ms, 2)}))
+
+    # host-side chain finisher (HysteresisEdgeTracePoints analog) on the
+    # dense mask — vectorized walker, reported for reference
+    t0 = time.perf_counter()
+    chains = cn.edge_contours(mask_dev)
+    tr = (time.perf_counter() - t0) * 1000.0
+    _log(f"# canny chain finisher: {tr:.1f} ms for "
+         f"{int(mask_dev.sum())} px -> {len(chains)} chains")
+
+
 def run_all():
     bench_disparity()
     bench_surf()
     bench_associate()
     bench_flow()
+    bench_canny()
     bench_zhang99()
 
 

@@ -133,46 +133,96 @@ def canny(image, low: float, high: float, sigma: float = -1.0,
 def edge_contours(mask) -> list[np.ndarray]:
     """HysteresisEdgeTracePoints analog: group the edge mask into
     8-connected chains and order each chain by walking from an endpoint.
-    Host-side finisher (tiny data: edge pixels only).  Returns a list of
-    [K, 2] (x, y) int32 arrays."""
+
+    Host-side finisher, VECTORIZED (r5 — the per-pixel Python walk cost
+    ~10 us/pixel and dominated dense 640x480 frames): neighbor ids are
+    precomputed as one [N, 8] gather over shifted index images, then ALL
+    chains advance one step per numpy iteration in parallel — every
+    endpoint seeds a walker, each walker claims its first unvisited
+    neighbor (4-connected directions preferred, matching the sequential
+    tracer's tie-break), and simultaneous claims on one pixel are
+    resolved by keeping the first claimant (the loser re-picks or dies
+    next step).  Wall clock is O(longest chain) numpy steps of O(active
+    walkers) work.  Leftover pixels (pure loops, junction islands) seed
+    further rounds until every pixel is claimed.
+
+    Returns a list of [K, 2] (x, y) int32 arrays covering every edge
+    pixel exactly once, consecutive entries 8-adjacent.
+    """
     m = np.asarray(mask) > 0
     h, w = m.shape
     ys, xs = np.nonzero(m)
-    visited = np.zeros_like(m)
-    nbrs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
-            (0, 1), (1, -1), (1, 0), (1, 1)]
+    n = len(ys)
+    if n == 0:
+        return []
+    idx = np.full((h, w), -1, np.int32)
+    idx[ys, xs] = np.arange(n, dtype=np.int32)
+    # 4-connected offsets first: the sequential tracer preferred the
+    # tighter continuation
+    offs = [(0, -1), (0, 1), (-1, 0), (1, 0),
+            (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    p = np.full((h + 2, w + 2), -1, np.int32)
+    p[1:-1, 1:-1] = idx
+    nbr = np.stack([p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w][ys, xs]
+                    for dy, dx in offs], axis=1)            # [N, 8]
+    degree = (nbr >= 0).sum(1)
 
-    def neighbors(y, x):
-        for dy, dxx in nbrs:
-            ny, nx = y + dy, x + dxx
-            if 0 <= ny < h and 0 <= nx < w and m[ny, nx]:
-                yield ny, nx
+    visited = np.zeros(n, bool)
+    chain_of = np.empty(n, np.int64)
+    step_of = np.empty(n, np.int64)
+    next_chain = 0
 
-    def degree(y, x):
-        return sum(1 for _ in neighbors(y, x))
-
-    chains = []
-    # endpoints first so open curves are walked end-to-end, then loops
-    order = sorted(zip(ys.tolist(), xs.tolist()),
-                   key=lambda p: (degree(*p) != 1,))
-    for y0, x0 in order:
-        if visited[y0, x0]:
-            continue
-        chain = [(x0, y0)]
-        visited[y0, x0] = True
-        cy, cx = y0, x0
-        while True:
-            nxt = [(ny, nx) for ny, nx in neighbors(cy, cx)
-                   if not visited[ny, nx]]
-            if not nxt:
+    def run_walkers(starts):
+        nonlocal next_chain
+        cur = starts
+        cid = next_chain + np.arange(len(starts))
+        next_chain += len(starts)
+        visited[cur] = True
+        chain_of[cur] = cid
+        step_of[cur] = 0
+        step = 1
+        while len(cur):
+            cand = nbr[cur]                                  # [A, 8]
+            ok = (cand >= 0) & ~visited[np.clip(cand, 0, n - 1)]
+            any_ok = ok.any(1)
+            cur, cid = cur[any_ok], cid[any_ok]
+            if not len(cur):
                 break
-            # prefer 4-connected continuation (tighter chain ordering)
-            nxt.sort(key=lambda p: abs(p[0] - cy) + abs(p[1] - cx))
-            cy, cx = nxt[0]
-            visited[cy, cx] = True
-            chain.append((cx, cy))
-        chains.append(np.array(chain, dtype=np.int32))
-    return chains
+            pick = ok[any_ok].argmax(1)
+            tgt = cand[any_ok, pick]
+            # resolve simultaneous claims: first walker wins
+            _, first = np.unique(tgt, return_index=True)
+            win = np.zeros(len(tgt), bool)
+            win[first] = True
+            cur, cid = tgt[win], cid[win]
+            visited[cur] = True
+            chain_of[cur] = cid
+            step_of[cur] = step
+            step += 1
+
+    # each round seeds ONE walker per connected component of the
+    # remaining pixels (endpoint preferred, like the sequential tracer)
+    # — so walkers can never meet on the same curve and split it
+    from scipy import ndimage as ndi
+    eight = np.ones((3, 3), bool)
+    while not visited.all():
+        rem = np.zeros((h, w), bool)
+        rem[ys[~visited], xs[~visited]] = True
+        comp, _ = ndi.label(rem, structure=eight)
+        comp_of = comp[ys, xs]                               # 0 if visited
+        rem_deg = (nbr >= 0) & ~visited[np.clip(nbr, 0, n - 1)]
+        rem_deg = rem_deg.sum(1)
+        # rank: endpoints of the remaining subgraph first
+        cand = np.flatnonzero(~visited)
+        rank = np.lexsort((cand, (rem_deg[cand] > 1).astype(np.int8)))
+        cand = cand[rank]
+        _, first = np.unique(comp_of[cand], return_index=True)
+        run_walkers(cand[first])
+
+    order = np.lexsort((step_of, chain_of))
+    pts = np.stack([xs, ys], 1).astype(np.int32)[order]
+    bounds = np.flatnonzero(np.diff(chain_of[order])) + 1
+    return np.split(pts, bounds)
 
 
 def canny_contours(image, low: float, high: float, sigma: float = -1.0,
