@@ -301,3 +301,166 @@ def foot_to_polar(foot: FootLines, shape_hw):
     rho = jnp.sqrt(dx * dx + dy * dy)
     theta = jnp.arctan2(dy, dx)
     return rho, theta
+
+
+class LineSegments(NamedTuple):
+    """Flat (region-free) line segments."""
+    x0: np.ndarray
+    y0: np.ndarray
+    x1: np.ndarray
+    y1: np.ndarray
+    inliers: np.ndarray
+
+
+def connect_segments(segs: GridLineSegments,
+                     angle_tol: float = 0.12,
+                     dist_tol: float = 2.0,
+                     gap_tol: float = 8.0) -> LineSegments:
+    """Merge collinear segment fragments across grid regions
+    (ConnectLinesGrid.java:59 — the reference walks neighboring grid
+    cells connecting segments whose angle/endpoint distances are within
+    tolerance; ``grid_ransac_lines`` returns per-region fragments, so a
+    long line crossing 5 regions comes back as 5 pieces).
+
+    Host-side finisher on the tiny segment list (<= R*L entries):
+    pairwise compatibility is one vectorized [M, M] test — angle within
+    ``angle_tol`` (mod pi), each midpoint within ``dist_tol`` of the
+    other's infinite line, and projection intervals separated by less
+    than ``gap_tol`` — followed by union-find over compatible pairs and
+    one total-least-squares refit per group (endpoints weighted by
+    inlier counts), spanning the group's extreme projections.
+    """
+    v = np.asarray(segs.valid).ravel()
+    x0 = np.asarray(segs.x0).ravel()[v]
+    y0 = np.asarray(segs.y0).ravel()[v]
+    x1 = np.asarray(segs.x1).ravel()[v]
+    y1 = np.asarray(segs.y1).ravel()[v]
+    w = np.asarray(segs.inliers).ravel()[v].astype(np.float64)
+    M = len(x0)
+    if M == 0:
+        return LineSegments(*[np.zeros(0)] * 4, np.zeros(0, np.int32))
+    ang = np.arctan2(y1 - y0, x1 - x0) % np.pi
+    mx = 0.5 * (x0 + x1)
+    my = 0.5 * (y0 + y1)
+    ux = np.cos(ang)
+    uy = np.sin(ang)
+    dang = np.abs(ang[:, None] - ang[None, :])
+    dang = np.minimum(dang, np.pi - dang)
+    # midpoint j to infinite line i (and symmetrically)
+    relx = mx[None, :] - mx[:, None]
+    rely = my[None, :] - my[:, None]
+    perp = np.abs(relx * uy[:, None] - rely * ux[:, None])
+    perp = np.maximum(perp, perp.T)
+    # gap along line i between the two projection intervals
+    def proj(i_ux, i_uy, ox, oy):
+        return ox * i_ux + oy * i_uy
+    p0 = proj(ux[:, None], uy[:, None], x0[None, :] - mx[:, None],
+              y0[None, :] - my[:, None])
+    p1 = proj(ux[:, None], uy[:, None], x1[None, :] - mx[:, None],
+              y1[None, :] - my[:, None])
+    lo = np.minimum(p0, p1)
+    hi = np.maximum(p0, p1)
+    own_lo = np.diag(lo).copy()
+    own_hi = np.diag(hi).copy()
+    gap = np.maximum(lo - own_hi[:, None], own_lo[:, None] - hi)
+    compat = (dang <= angle_tol) & (perp <= dist_tol) & (gap <= gap_tol)
+    # union-find
+    parent = np.arange(M)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j in zip(*np.nonzero(np.triu(compat, 1))):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[rj] = ri
+    root = np.array([find(i) for i in range(M)])
+    out = []
+    for r in np.unique(root):
+        sel = root == r
+        px = np.concatenate([x0[sel], x1[sel]])
+        py = np.concatenate([y0[sel], y1[sel]])
+        pw = np.concatenate([w[sel], w[sel]])
+        s = pw.sum()
+        cx_, cy_ = (px * pw).sum() / s, (py * pw).sum() / s
+        cxx = (pw * (px - cx_) ** 2).sum()
+        cxy = (pw * (px - cx_) * (py - cy_)).sum()
+        cyy = (pw * (py - cy_) ** 2).sum()
+        a = 0.5 * np.arctan2(2 * cxy, cxx - cyy)
+        dx_, dy_ = np.cos(a), np.sin(a)
+        t = (px - cx_) * dx_ + (py - cy_) * dy_
+        out.append((cx_ + t.min() * dx_, cy_ + t.min() * dy_,
+                    cx_ + t.max() * dx_, cy_ + t.max() * dy_,
+                    int(w[sel].sum())))
+    ox0, oy0, ox1, oy1, oin = map(np.asarray, zip(*out))
+    return LineSegments(ox0, oy0, ox1, oy1, oin.astype(np.int32))
+
+
+def prune_merge_similar(lines: HoughLines, rho_tol: float = 6.0,
+                        theta_tol: float = 0.12,
+                        merge: bool = True) -> HoughLines:
+    """Prune/merge near-duplicate polar Hough lines
+    (ImageLinePruneMerge.java:35's pruneSimilar): sort by score, keep
+    each line unless a stronger kept line lies within (rho_tol,
+    theta_tol) — with theta wrapped mod pi and rho's sign flipped across
+    the wrap.  ``merge=True`` replaces each kept line with the
+    score-weighted mean of its absorbed duplicates.
+
+    Host-side finisher on the tiny line list; returns a HoughLines of
+    the same capacity with pruned slots masked out of ``valid``.
+    """
+    rho = np.array(lines.rho, np.float64)
+    theta = np.array(lines.theta, np.float64)
+    score = np.array(lines.score, np.float64)
+    valid = np.array(lines.valid)
+    idx = np.argsort(-np.where(valid, score, -np.inf))
+    kept = []          # indices of keepers
+    absorbed = {}
+    for i in idx:
+        if not valid[i]:
+            continue
+        matched = None
+        for k in kept:
+            dth = abs(theta[i] - theta[k])
+            wrap = dth > np.pi / 2
+            dth = min(dth, np.pi - dth)
+            drho = abs((-rho[i] if wrap else rho[i]) - rho[k])
+            if dth <= theta_tol and drho <= rho_tol:
+                matched = k
+                break
+        if matched is None:
+            kept.append(i)
+            absorbed[i] = [i]
+        else:
+            absorbed[matched].append(i)
+            valid[i] = False
+    if merge:
+        for k in kept:
+            grp = absorbed[k]
+            wgt = score[grp]
+            th_k = theta[k]
+            # average in a frame where duplicates across the pi wrap
+            # align with the keeper
+            ths, rhs = [], []
+            for g in grp:
+                dth = theta[g] - th_k
+                if dth > np.pi / 2:
+                    ths.append(theta[g] - np.pi)
+                    rhs.append(-rho[g])
+                elif dth < -np.pi / 2:
+                    ths.append(theta[g] + np.pi)
+                    rhs.append(-rho[g])
+                else:
+                    ths.append(theta[g])
+                    rhs.append(rho[g])
+            s = wgt.sum()
+            theta[k] = float(np.dot(ths, wgt) / s) % np.pi
+            rho_k = float(np.dot(rhs, wgt) / s)
+            # fold back if the weighted theta wrapped
+            rho[k] = rho_k
+            score[k] = s
+    return HoughLines(jnp.asarray(rho), jnp.asarray(theta),
+                      jnp.asarray(score), jnp.asarray(valid))

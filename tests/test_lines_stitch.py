@@ -85,3 +85,58 @@ def test_grid_ransac_lines_empty_image():
     img = np.full((64, 64), 100.0, np.float32)
     segs = grid_ransac_lines(jnp.asarray(img), region_size=32)
     assert not np.asarray(segs.valid).any()
+
+
+def test_connect_segments_merges_fragments():
+    """A long line crossing several grid regions comes back from
+    grid_ransac_lines as per-region fragments; connect_segments must
+    return ONE segment per true line spanning (almost) its full length
+    (ConnectLinesGrid.java:59 parity)."""
+    from boofcv_tpu.feature import lines as ln
+
+    h, w = 128, 192
+    img = np.zeros((h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # line A: horizontal y=40 from x=10..180; line B: diagonal
+    img[np.abs(yy - 40) <= 1 & 1] = 0  # no-op guard
+    img[(np.abs(yy - 40) <= 1) & (xx >= 10) & (xx <= 180)] = 200.0
+    d = np.abs((yy - 90) - 0.4 * (xx - 20))
+    img[(d <= 1.2) & (xx >= 20) & (xx <= 170)] = 200.0
+    segs = ln.grid_ransac_lines(img, region_size=32, edge_threshold=30.0)
+    n_frag = int(np.asarray(segs.valid).sum())
+    assert n_frag > 4, n_frag            # fragmented across regions
+    # dist_tol spans the ~2.4px-wide bar: both intensity edges of one
+    # rendered line group together
+    merged = ln.connect_segments(segs, dist_tol=3.0)
+    assert len(merged.x0) == 2, len(merged.x0)
+    lengths = np.hypot(merged.x1 - merged.x0, merged.y1 - merged.y0)
+    lengths = np.sort(lengths)
+    # horizontal line (~170 px) fully spanned; the diagonal's grid
+    # detection is sparser, but the merged segment must span several
+    # regions (region_size=32 — fragments alone cap out around one
+    # region's diagonal)
+    assert lengths[1] > 0.8 * 170, lengths
+    assert lengths[0] > 2.5 * 32, lengths
+
+
+def test_prune_merge_similar_hough():
+    from boofcv_tpu.feature import lines as ln
+    import jax.numpy as jnp
+
+    # slot 3 is the same line as slot 0 across the pi wrap (theta just
+    # under pi with rho's sign flipped == theta just over 0); slot 4 is
+    # a dead slot
+    rho = jnp.asarray([50.0, 52.0, -30.0, -49.0, 0.0])
+    theta = jnp.asarray([0.03, 0.05, 1.8, np.pi - 0.01, 0.0])
+    score = jnp.asarray([100.0, 60.0, 80.0, 40.0, 0.0])
+    valid = jnp.asarray([True, True, True, True, False])
+    out = ln.prune_merge_similar(
+        ln.HoughLines(rho, theta, score, valid),
+        rho_tol=6.0, theta_tol=0.12)
+    v = np.asarray(out.valid)
+    assert v.sum() == 2, v               # 0 absorbs 1 and 3; 2 survives
+    assert v[0] and v[2]
+    # merged keeper: score-weighted mean of (50, 52, 49-wrapped)
+    r0 = float(np.asarray(out.rho)[0])
+    assert 49.5 < r0 < 51.5, r0
+    assert float(np.asarray(out.score)[0]) == 200.0
