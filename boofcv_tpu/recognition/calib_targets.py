@@ -46,32 +46,135 @@ def _black_blob_contours(image, min_area: int = 20):
     return out
 
 
-def detect_square_grid(image, rows: int, cols: int, min_area: int = 20):
-    """Square-grid target: ``rows x cols`` black squares; calibration
-    points are all 4 corners of every square, ordered as a
-    (2*rows) x (2*cols) point lattice (DetectSquareGridFiducial.java).
-
-    Returns [4*rows*cols, 2] (x, y) row-major, or None.
-    """
-    want = rows * cols
-    quads = []
+def _square_quad_candidates(image, min_area: int = 20):
+    """Convex-quad candidates from dark blobs: list of
+    (corners [4,2], center [2], side_length)."""
+    h, w = np.asarray(image).shape
+    out = []
     for contour, area in _black_blob_contours(image, min_area):
         poly = shapes.fit_polygon(contour, num_sides=4)
         if poly is None or len(poly) != 4:
             continue
         if not shapes.polygon_is_convex(poly):
             continue
-        quads.append((np.asarray(poly, np.float64), area))
+        q = np.asarray(poly, np.float64)
+        # squares clipped by the image border trace the frame edge and
+        # fit a quad with corners far from the true (off-image) ones —
+        # the reference's detector likewise drops border-touching shapes
+        if (q[:, 0] < 1).any() or (q[:, 0] > w - 2).any() \
+                or (q[:, 1] < 1).any() or (q[:, 1] > h - 2).any():
+            continue
+        sides = np.linalg.norm(np.roll(q, -1, 0) - q, axis=1)
+        # a projected square keeps side ratios bounded; blobs that fit a
+        # sliver quad are contour noise
+        if sides.min() < 0.25 * sides.max():
+            continue
+        out.append((q, q.mean(0), float(sides.mean())))
+    return out
+
+
+def detect_square_grid_auto(image, min_area: int = 20):
+    """Square-grid target with UNKNOWN size and occlusion tolerance
+    (SquaresIntoRegularClusters.java + SquareGridTools.java:37 analog).
+
+    Pipeline: convex-quad candidates (clustered implicitly by the
+    size-consistency gate) -> the squares' CENTERS form a regular
+    lattice, grown with the same frame-propagating BFS + homography
+    refinement the circle grids use (``assemble_ellipse_grid``) -> each
+    found square's 4 corners are assigned to the (2r+a, 2c+b) corner
+    lattice by the sign of their projection onto the cell's local
+    homography axes (SquareGridTools.orderSquareCorners analog).
+
+    Returns (corner_grid [2R, 2C, 2], corner_mask [2R, 2C]) or None;
+    cells of occluded/missed squares are mask=False.
+    """
+    quads = _square_quad_candidates(image, min_area)
+    if len(quads) < 4:
+        return None
+    centers = np.stack([c for _, c, _ in quads])
+    sizes = np.asarray([s for _, _, s in quads])
+    res = assemble_ellipse_grid(centers, sizes)
+    if res is None:
+        return None
+    grid, mask = res
+    R, C = mask.shape
+    # map lattice cells back to their source quad (assemble returns
+    # coordinates verbatim, so nearest-center matching is exact)
+    vs, us = np.nonzero(mask)
+    cell_quad = {}
+    for v, u in zip(vs, us):
+        d = np.linalg.norm(centers - grid[v, u], axis=1)
+        if d.min() < 1e-6 + 0.25 * sizes[d.argmin()]:
+            cell_quad[(v, u)] = int(d.argmin())
+    if len(cell_quad) < 4:
+        return None
+    # local lattice axes from the cell-grid homography (u, v) -> (x, y)
+    import jax.numpy as _jnp
+    from boofcv_tpu.geo import epipolar as _epi
+    uv = np.array([(u, v) for (v, u) in cell_quad], np.float64)
+    xy = np.array([grid[v, u] for (v, u) in cell_quad])
+    Hm = np.asarray(_epi.homography_dlt(_jnp.asarray(uv[None]),
+                                        _jnp.asarray(xy[None])))[0]
+
+    def h_apply(p):
+        q = np.c_[p, np.ones(len(p))] @ Hm.T
+        return q[:, :2] / q[:, 2:]
+
+    out_grid = np.zeros((2 * R, 2 * C, 2))
+    out_mask = np.zeros((2 * R, 2 * C), bool)
+    for (v, u), qi in cell_quad.items():
+        corners = quads[qi][0]
+        base = h_apply(np.array([[u, v]], np.float64))[0]
+        ud = h_apply(np.array([[u + 0.5, v]]))[0] - base
+        vd = h_apply(np.array([[u, v + 0.5]]))[0] - base
+        rel = corners - base
+        su = (rel @ ud > 0).astype(int)          # 0 = -u side, 1 = +u
+        sv = (rel @ vd > 0).astype(int)
+        combos = set(zip(su, sv))
+        if len(combos) != 4:
+            continue                              # degenerate projection
+        for k in range(4):
+            out_grid[2 * v + sv[k], 2 * u + su[k]] = corners[k]
+            out_mask[2 * v + sv[k], 2 * u + su[k]] = True
+    if out_mask.sum() < 8:
+        return None
+    return out_grid, out_mask
+
+
+def detect_square_grid(image, rows: int, cols: int, min_area: int = 20):
+    """Square-grid target: ``rows x cols`` black squares; calibration
+    points are all 4 corners of every square, ordered as a
+    (2*rows) x (2*cols) point lattice (DetectSquareGridFiducial.java).
+
+    Routed through the cluster-assembly path first
+    (:func:`detect_square_grid_auto` — distractor quads and occluded
+    cells are rejected by the lattice growth itself, which the
+    size-median heuristic cannot do), accepting any proper rotation of
+    the recovered lattice that matches the requested shape with every
+    corner present.  The legacy most-size-consistent-subset +
+    ``_order_grid`` heuristic remains as a frontal fallback.
+
+    Returns [4*rows*cols, 2] (x, y) row-major, or None.
+    """
+    res = detect_square_grid_auto(image, min_area)
+    if res is not None:
+        grid, mask = res
+        for k in range(4):
+            g = np.rot90(grid, k, axes=(0, 1))
+            m = np.rot90(mask, k)
+            if m.shape == (2 * rows, 2 * cols) and m.all():
+                return g.reshape(-1, 2)
+    want = rows * cols
+    quads = [(q, s) for q, _, s in _square_quad_candidates(image, min_area)]
     if len(quads) < want:
         return None
     if len(quads) > want:
-        # keep the most size-consistent subset (targets have equal squares)
-        areas = np.array([a for _, a in quads])
-        med = np.median(areas)
-        order = np.argsort(np.abs(areas - med))
+        # keep the most size-consistent subset (equal target squares)
+        ss = np.array([s for _, s in quads])
+        med = np.median(ss)
+        order = np.argsort(np.abs(ss - med))
         quads = [quads[i] for i in order[:want]]
-
-    corners = np.concatenate([q for q, _ in quads], axis=0)  # [4*want, 2]
+    corners = np.concatenate([q for q, _ in quads], axis=0)
     return _order_grid(corners, 2 * rows, 2 * cols)
 
 

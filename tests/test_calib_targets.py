@@ -205,3 +205,116 @@ def test_circle_regular_grid_rotated_view_keeps_handedness():
     pts1 = calib_targets.detect_circle_regular_grid(rot, rows, cols)
     assert pts1 is not None and pts1.shape == (rows * cols, 2)
     assert handedness(pts0, cols) == handedness(pts1, cols)
+
+
+def _render_square_grid_h(Hm, shape, rows, cols, sq=1.0, gap=0.5,
+                          skip=None):
+    """Rasterize a rows x cols black-square target through homography
+    ``Hm`` (plane (px, py) -> image (x, y)).  Returns (image, corners)
+    with corners [rows, cols, 2(v,u), 2(v,u), 2] = the projected 4
+    corners of square (r, c) indexed [r, c, a, b] (a = v side, b = u
+    side).  ``skip=(r, c)`` leaves one square white (occlusion)."""
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    Hinv = np.linalg.inv(Hm)
+    ph = np.stack([xx, yy, np.ones_like(xx)], -1) @ Hinv.T
+    px = ph[..., 0] / ph[..., 2]
+    py = ph[..., 1] / ph[..., 2]
+    pitch = sq + gap
+    cu = np.floor(px / pitch).astype(int)
+    cv = np.floor(py / pitch).astype(int)
+    fu = px - cu * pitch
+    fv = py - cv * pitch
+    inside = (fu < sq) & (fv < sq) & (cu >= 0) & (cu < cols) \
+        & (cv >= 0) & (cv < rows) & (ph[..., 2] > 0)
+    if skip is not None:
+        inside &= ~((cv == skip[0]) & (cu == skip[1]))
+    img = np.where(inside, 20.0, 235.0).astype(np.float32)
+    corners = np.zeros((rows, cols, 2, 2, 2))
+    for r in range(rows):
+        for c in range(cols):
+            for a in range(2):
+                for b in range(2):
+                    p = np.array([c * pitch + b * sq, r * pitch + a * sq,
+                                  1.0])
+                    q = Hm @ p
+                    corners[r, c, a, b] = q[:2] / q[2]
+    return img, corners
+
+
+def _oblique_h(tilt_deg=47.0, f=320.0, shape=(240, 320),
+               grid_wh=(7.0, 5.5)):
+    """Homography of a plane tilted ``tilt_deg`` about the x-axis, with
+    the grid (width, height in plane units) centered in the image."""
+    h, w = shape
+    gw, gh = grid_wh
+    th = np.radians(tilt_deg)
+    R = np.array([[1, 0, 0],
+                  [0, np.cos(th), -np.sin(th)],
+                  [0, np.sin(th), np.cos(th)]])
+    center = np.array([gw / 2, gh / 2, 0.0])
+    t = np.array([0.0, 0.0, 10.0]) - R @ center
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
+    return K @ np.c_[R[:, 0], R[:, 1], t]
+
+
+def test_square_grid_auto_oblique_occluded():
+    """SquaresIntoRegularClusters parity: unknown grid size, >=45 deg
+    obliquity, one square occluded — the cluster assembly must recover
+    the corner lattice with the occluded cells masked out."""
+    rows, cols = 4, 5
+    Hm = _oblique_h(47.0)
+    img, corners = _render_square_grid_h(Hm, (240, 320), rows, cols,
+                                         skip=(1, 2))
+    res = calib_targets.detect_square_grid_auto(img)
+    assert res is not None
+    grid, mask = res
+    # orient the recovered lattice to the rendered one
+    best = None
+    for k in range(4):
+        g = np.rot90(grid, k, axes=(0, 1))
+        m = np.rot90(mask, k)
+        if m.shape == (2 * rows, 2 * cols):
+            found = m.sum()
+            if best is None or found > best[2]:
+                best = (g, m, found)
+    assert best is not None, mask.shape
+    g, m, _ = best
+    assert m.sum() == 4 * (rows * cols - 1), m.sum()
+    # the occluded square's 4 corner cells are the masked-out ones
+    holes = np.argwhere(~m)
+    assert len(holes) == 4
+    assert (holes // 2 == holes[0] // 2).all()
+    # every found corner matches a rendered ground-truth corner to ~1.5px
+    gt = corners.transpose(0, 2, 1, 3, 4).reshape(2 * rows, 2 * cols, 2)
+    # allow the recovered lattice to be flipped/offset consistently:
+    # compare as SETS of points
+    found_pts = g[m]
+    gt_mask = np.ones((rows, cols, 2, 2), bool)
+    gt_mask[1, 2] = False
+    gt_pts = corners[gt_mask].reshape(-1, 2)
+    d = np.linalg.norm(found_pts[:, None] - gt_pts[None], axis=-1)
+    # contour-polygon corner localization is ~2px at this raster
+    assert d.min(1).max() < 2.5, d.min(1).max()
+    # and the lattice ORDER is projectively consistent: neighboring
+    # lattice cells are nearby in the image
+    vs, us = np.nonzero(m)
+    for v, u in zip(vs, us):
+        if u + 1 < 2 * cols and m[v, u + 1]:
+            assert np.linalg.norm(g[v, u + 1] - g[v, u]) < 60
+
+
+def test_square_grid_known_size_falls_back_to_auto():
+    """The known-size entry must survive a distractor blob via the
+    cluster-assembly fallback."""
+    rows, cols = 3, 4
+    Hm = _oblique_h(30.0, grid_wh=(5.5, 4.0))
+    img, corners = _render_square_grid_h(Hm, (240, 320), rows, cols)
+    # add a big dark distractor far from the target
+    img[5:35, 270:315] = 25.0
+    pts = calib_targets.detect_square_grid(img, rows, cols)
+    assert pts is not None
+    assert pts.shape == (4 * rows * cols, 2)
+    gt = corners.transpose(0, 2, 1, 3, 4).reshape(-1, 2)
+    d = np.linalg.norm(pts[:, None] - gt[None], axis=-1)
+    assert d.min(1).max() < 2.5
