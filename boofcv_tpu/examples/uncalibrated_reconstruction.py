@@ -16,11 +16,26 @@ from boofcv_tpu.examples import setup_backend
 
 
 def main(argv=None) -> int:
+    import sys as _sys
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    use_mesh = "--mesh" in argv
+    if use_mesh:
+        argv.remove("--mesh")
+        import os
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
     setup_backend(argv)
     import jax.numpy as jnp
     from boofcv_tpu.geo import se3
     from boofcv_tpu.sfm import structure2
     from boofcv_tpu.sfm.reconstruction import ImageFeatures
+    mesh = None
+    if use_mesh:
+        from boofcv_tpu.dist import make_mesh
+        mesh = make_mesh()
+        print(f"pairwise matching fanned over {mesh.devices.size} devices")
 
     rng = np.random.default_rng(24)
     H, W, f = 240, 320, 270.0
@@ -53,7 +68,7 @@ def main(argv=None) -> int:
     it = iter(feats)
     scene = structure2.reconstruct_uncalibrated(
         [np.zeros((H, W), np.float32)] * n_views,
-        detect=lambda im: next(it))
+        detect=lambda im: next(it), mesh=mesh)
     print(f"registered views: {len(scene['poses'])}/{n_views}, "
           f"points: {len(scene['points'])}")
     f_est = scene["K"][0, 0]

@@ -82,12 +82,49 @@ def _batched_fh_ransac_fn(num_hypotheses: int, threshold_px: float):
     return jax.jit(jax.vmap(one))
 
 
+@functools.lru_cache(maxsize=8)
+def _batched_fh_ransac_sharded_fn(mesh, num_hypotheses: int,
+                                  threshold_px: float):
+    """shard_map wrapper of the vmapped F/H RANSAC: the pair axis shards
+    over the mesh, every device runs the identical chunk program on its
+    slice, results gather back (dist.matching_sharded's fan-out pattern,
+    SURVEY §2.9 batch/data parallel — this makes the multi-device
+    matching path part of the real structure2 pipeline, not only the
+    standalone dist test)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    def one(key, a, b, m):
+        k1, k2 = jax.random.split(key)
+        rf = robust.ransac_fundamental(k1, a, b,
+                                       num_hypotheses=num_hypotheses,
+                                       inlier_threshold_px=threshold_px,
+                                       valid_mask=m)
+        rh = robust.ransac_homography(k2, a, b,
+                                      num_hypotheses=num_hypotheses,
+                                      inlier_threshold_px=threshold_px,
+                                      valid_mask=m)
+        return (rf.model[0], rf.inliers, rf.num_inliers, rh.num_inliers)
+
+    axes = tuple(mesh.axis_names)
+    spec = PS(axes)
+    shard = shard_map(jax.vmap(one), mesh=mesh,
+                      in_specs=(spec, spec, spec, spec),
+                      out_specs=(spec, spec, spec, spec),
+                      check_vma=False)
+    return jax.jit(shard)
+
+
 def _batched_fh_ransac(keys, pa, pb, mask, num_hypotheses: int = 256,
-                       threshold_px: float = 2.0):
+                       threshold_px: float = 2.0, mesh=None):
     """F-RANSAC and H-RANSAC for a BATCH of pairs as one vmapped jitted
     program — the hypothesis-parallel solvers are pure traced jnp, so
     pairs become one more batch axis (the graph generator's former
-    2-dispatches-per-pair host loop was the structure2 scaling wall)."""
+    2-dispatches-per-pair host loop was the structure2 scaling wall).
+    With ``mesh``, the pair axis additionally shards across devices."""
+    if mesh is not None:
+        return _batched_fh_ransac_sharded_fn(
+            mesh, num_hypotheses, threshold_px)(keys, pa, pb, mask)
     return _batched_fh_ransac_fn(num_hypotheses, threshold_px)(
         keys, pa, pb, mask)
 
@@ -95,13 +132,21 @@ def _batched_fh_ransac(keys, pa, pb, mask, num_hypotheses: int = 256,
 def generate_pairwise_graph(images, max_features: int = 300,
                             detect=None, min_matches: int = 20,
                             seed: int = 0,
-                            pair_chunk: int = 64) -> PairwiseGraph2:
+                            pair_chunk: int = 64,
+                            mesh=None) -> PairwiseGraph2:
     """All-pairs matching with F-vs-H model scoring
     (GeneratePairwiseImageGraph.process analog).
 
     Candidate pairs are padded to a common match count and their robust
     F/H fits run ``pair_chunk`` at a time through one vmapped RANSAC
-    program (50 views = 1225 pairs = ~20 dispatches, not 2450)."""
+    program (50 views = 1225 pairs = ~20 dispatches, not 2450).
+    ``mesh``: optional jax.sharding.Mesh — each chunk's pair axis then
+    shards across the mesh devices (chunk size is rounded up to a mesh
+    multiple), turning the all-pairs stage into the SURVEY §2.9
+    batch-parallel fan-out."""
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        pair_chunk = ((pair_chunk + n_dev - 1) // n_dev) * n_dev
     detect = detect or (lambda im: reconstruction.detect_describe(
         im, max_features))
     feats = [detect(im) for im in images]
@@ -135,12 +180,12 @@ def generate_pairwise_graph(images, max_features: int = 300,
         hi = min(lo + pair_chunk, P)
         # pad the last chunk to the compiled chunk shape (dummy = slot 0)
         idx = np.arange(lo, hi)
-        if hi - lo < pair_chunk and P > pair_chunk:
+        if hi - lo < pair_chunk and (P > pair_chunk or mesh is not None):
             idx = np.concatenate(
                 [idx, np.zeros(pair_chunk - (hi - lo), np.int64)])
         F_b, inl_b, nf_b, nh_b = _batched_fh_ransac(
             keys[idx], jnp.asarray(pa_all[idx]), jnp.asarray(pb_all[idx]),
-            jnp.asarray(mask_all[idx]))
+            jnp.asarray(mask_all[idx]), mesh=mesh)
         F_b = np.asarray(F_b)
         inl_b = np.asarray(inl_b)
         nf_b = np.asarray(nf_b)
@@ -299,7 +344,8 @@ def _metric_graph_from_edges(g: PairwiseGraph2, K):
 
 
 def reconstruct_uncalibrated(images, max_features: int = 300, detect=None,
-                             ba_iterations: int = 20, seed: int = 0):
+                             ba_iterations: int = 20, seed: int = 0,
+                             mesh=None):
     """Full uncalibrated pipeline: pairwise graph with F/H model scores
     -> shared focal by Sturm's equal-singular-value sweep over the 3D
     edges -> calibrated incremental growth (sfm/reconstruction v1
@@ -317,7 +363,8 @@ def reconstruct_uncalibrated(images, max_features: int = 300, detect=None,
     guess-and-check estimators), and the final free-focal bundle
     polishes the estimate against every observation.
     """
-    g = generate_pairwise_graph(images, max_features, detect, seed=seed)
+    g = generate_pairwise_graph(images, max_features, detect, seed=seed,
+                                mesh=mesh)
     if not g.edges:
         raise ValueError("no connected 3D view pairs in the graph")
     h, w = images[0].shape[:2]
