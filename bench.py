@@ -100,6 +100,15 @@ def main():
     dt = time.perf_counter() - t0
     fps = reps / dt
 
+    # analytic per-frame work (ExampleVisualOdometryStereo shape):
+    # batched KLT 4 levels x 8 GN iters x 512 tracks x 49-px windows x
+    # ~30 flops (~24 M) + RANSAC-P3P scoring 1024x512x20 (~10 M) +
+    # pyramids/detection (~8 M) ~= 45 MFLOP/frame — the <2% MFU figure
+    # in PROFILE.md is this intrinsic work over the measured fps
+    import bench_breadth
+    bench_breadth._roofline("stereo-VO/frame", 1000.0 / fps, 45e6,
+                            640 * 480 * 4 * 8.0)
+
     # reference point: single-frame-per-dispatch latency
     s1, m = step(state, lefts[0], rights[0])
     jax.block_until_ready(m)
@@ -404,6 +413,12 @@ def bench_window_ba():
         out, info = ba.optimize(prob, iterations=10)
         _sync(out.points)
     ms = (time.perf_counter() - t0) / reps * 1000.0
+    # analytic work/iter at P=2000, V=100, L=10, D=6: the Schur-fill
+    # one-hot einsum 'pvik,pwij->vwkj' dominates (P*V^2*3*D^2*2 =
+    # 4.3 GFLOP) + gather-as-matmul factors (0.14 G) + jacobians +
+    # [VD,VD] Cholesky (~0.07 G) ~= 4.5 GFLOP x 10 LM iterations
+    import bench_breadth
+    bench_breadth._roofline("window-BA", ms, 45e9, 10 * 2000 * 10 * 200.0)
     r = np.asarray(ba.residuals(out))
     rms = float(np.sqrt((np.linalg.norm(r, axis=-1)[obs_valid] ** 2).mean()))
     print(f"# window-BA final reproj RMS (normalized coords): {rms:.2e}",

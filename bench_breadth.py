@@ -54,7 +54,7 @@ def _scene_pair(seed=0):
     return left.astype(np.float32), right.astype(np.float32), disp
 
 
-def _time_device(fn, inputs, reps=3, chain=5):
+def _time_device(fn, inputs, reps=3, chain=20):
     """Steady-state device timing on the tunneled backend.
 
     Two confounders (see PROFILE.md): ``jax.block_until_ready`` is a
@@ -63,7 +63,8 @@ def _time_device(fn, inputs, reps=3, chain=5):
     (inputs cycled from a stacked pool via dynamic indexing so XLA
     cannot CSE them; outputs folded into a live scalar), force a scalar
     transfer per rep, and divide by the chain length — the residual
-    bias is round-trip/chain.
+    bias is round-trip/chain (r5: chain=20 pins sub-50 ms rows to
+    <2.5 ms of floor slack; r4's chain=5 left up to ~9 ms unknown).
     """
     from jax import lax
 
@@ -91,6 +92,26 @@ def _time_device(fn, inputs, reps=3, chain=5):
     for _ in range(reps):
         np.asarray(chained(*stacked))
     return (time.perf_counter() - t0) / reps / chain * 1000.0
+
+
+# v5e single-chip peaks for the roofline column: 197 TFLOP/s bf16 MXU
+# (f32 "highest" runs at ~1/4 of that via 3-pass emulation), 819 GB/s HBM
+_PEAK_BF16 = 197e12
+_PEAK_HBM = 819e9
+
+
+def _roofline(metric, ms, flops, bytes_moved):
+    """Log achieved FLOP/s and HBM bandwidth vs hardware peaks.
+
+    ``flops``/``bytes_moved`` are ANALYTIC estimates of the algorithm's
+    intrinsic work (documented per bench) — the point is an order-of-
+    magnitude utilization statement for PROFILE.md, not a profiler."""
+    gflops = flops / (ms * 1e-3) / 1e9
+    gbs = bytes_moved / (ms * 1e-3) / 1e9
+    _log(f"# {metric} roofline: {flops / 1e9:.2f} GFLOP, "
+         f"{gflops:.0f} GFLOP/s ({gflops * 1e9 / _PEAK_BF16 * 100:.2f}% "
+         f"of bf16 MXU peak), ~{bytes_moved / 1e6:.0f} MB moved, "
+         f"{gbs:.0f} GB/s ({gbs * 1e9 / _PEAK_HBM * 100:.0f}% of HBM peak)")
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +340,10 @@ def bench_disparity():
     errn = np.median(np.abs(dn - gt)[dn > 0])
     _log(f"# disparity-BM numpy baseline: {cpu_bm:.1f} ms "
          f"(median err {errn:.2f} px)")
+    # SAD cost D*H*W*2 + box sums ~8/elem + WTA one-hot selects ~6/elem
+    bm_flops = DMAX * H * W * 16.0
+    # cost volume is written+read through the box filter and WTA
+    _roofline("disparity-BM", ms_bm, bm_flops, DMAX * H * W * 4 * 3.0)
     print(json.dumps({
         "metric": "disparity_bm_ms_640x480_d96",
         "value": round(ms_bm, 2), "unit": "ms",
@@ -340,6 +365,10 @@ def bench_disparity():
     errn = np.median(np.abs(dn - gt)[dn > 0])
     _log(f"# disparity-SGM numpy baseline: {cpu_sgm:.1f} ms "
          f"(median err {errn:.2f} px)")
+    # census 48/px + hamming D*H*W*8 + 4 directional scans ~6 ops/elem
+    sgm_flops = H * W * 48.0 + DMAX * H * W * 8.0 + 4 * DMAX * H * W * 6.0
+    _roofline("disparity-SGM", ms_sgm, sgm_flops,
+              DMAX * H * W * 4 * (1 + 4 * 2.0))
     print(json.dumps({
         "metric": "disparity_sgm_ms_640x480_d96_4path",
         "value": round(ms_sgm, 2), "unit": "ms",
@@ -405,6 +434,9 @@ def bench_associate():
     cpu = (time.perf_counter() - t0) * 1000.0
     _log(f"# association numpy baseline: {cpu:.1f} ms "
          f"({int(mutual.sum())}/{N} mutual)")
+    # the [10k, 64] x [64, 10k] distance matmul dominates: 2*N*N*D
+    _roofline("association", ms, 2.0 * N * N * 64,
+              (2 * N * 64 + N * N) * 4.0)
     print(json.dumps({
         "metric": "associate_mutual_ms_10kx10k_64d",
         "value": round(ms, 2), "unit": "ms",
@@ -648,6 +680,9 @@ def bench_flow():
     errn = np.hypot(un[c] - dxe, vn[c] - dye).mean()
     _log(f"# HS-flow numpy baseline: {cpu:.1f} ms (mean endpoint err "
          f"{errn:.2f} px)")
+    # 200 Jacobi iterations x ~22 flops/px (8-tap laplacian avg + update)
+    _roofline("HS-flow", ms, 200.0 * H * W * 22,
+              200.0 * H * W * 4 * 4.0)
     print(json.dumps({
         "metric": "hs_flow_ms_640x480_200it",
         "value": round(ms, 2), "unit": "ms",
@@ -721,6 +756,9 @@ def bench_canny():
     union = (mask_dev | mask_np).sum()
     _log(f"# canny numpy baseline: {cpu:.1f} ms ({int(mask_np.sum())} px, "
          f"IoU {inter / max(union, 1):.2f})")
+    # blur 20/px + sobel 12/px + nms ~10/px + ~24 hysteresis sweeps
+    _roofline("canny", ms, H * W * (20 + 12 + 10 + 24 * 10.0),
+              H * W * 4 * 30.0)
     print(json.dumps({
         "metric": "canny_ms_640x480",
         "value": round(ms, 2), "unit": "ms",

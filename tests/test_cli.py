@@ -207,3 +207,24 @@ def test_create_qr_document_cli_roundtrip(tmp_path, capsys):
         if data is not None:
             texts.append(data.decode())
     assert sorted(texts) == ["0123456789", "CLI DOC TEST"]
+
+
+def test_batch_downsize_cli(tmp_path, capsys):
+    import numpy as np
+    from boofcv_tpu.io import image_io
+    from boofcv_tpu.cli import batch_downsize
+
+    d_in = tmp_path / "in"
+    d_out = tmp_path / "out"
+    d_in.mkdir()
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (96, 128)).astype(np.uint8)
+    image_io.save(str(d_in / "a.png"), img)
+    rc = batch_downsize.main(["--input", str(d_in), "--output", str(d_out),
+                              "--max-size", "64"])
+    assert rc == 0
+    out = image_io.load(str(d_out / "a.png"))
+    assert out.shape == (48, 64)
+    # integer factor == exact 2x2 box average (AverageDownSampleOps)
+    exp = img.reshape(48, 2, 64, 2).mean((1, 3))
+    assert np.abs(out.astype(float) - exp).max() <= 1.0
