@@ -9,7 +9,7 @@ factors go through bilinear warp resampling (ip.distort.scale).
 
 Usage:
   python -m boofcv_tpu.cli.batch_downsize --input DIR --output DIR \
-      [--max-size 640 | --scale 0.5]
+      [--max-size 640 | --scale 2]
 """
 
 from __future__ import annotations
@@ -48,6 +48,9 @@ def main(argv=None):
     g.add_argument("--scale", type=float,
                    help="shrink factor > 1 (2 halves each side)")
     args = ap.parse_args(argv)
+    if args.scale is not None and args.scale < 1.0:
+        ap.error("--scale is a shrink factor >= 1 (2 halves each side); "
+                 f"got {args.scale}")
 
     import numpy as np
     from boofcv_tpu.io import image_io

@@ -457,9 +457,17 @@ def prune_merge_similar(lines: HoughLines, rho_tol: float = 6.0,
                     ths.append(theta[g])
                     rhs.append(rho[g])
             s = wgt.sum()
-            theta[k] = float(np.dot(ths, wgt) / s) % np.pi
+            th_w = float(np.dot(ths, wgt) / s)
             rho_k = float(np.dot(rhs, wgt) / s)
-            # fold back if the weighted theta wrapped
+            # fold the weighted mean back into [0, pi) — a +-pi shift of
+            # theta flips the signed distance's sign
+            if th_w < 0.0:
+                th_w += np.pi
+                rho_k = -rho_k
+            elif th_w >= np.pi:
+                th_w -= np.pi
+                rho_k = -rho_k
+            theta[k] = th_w
             rho[k] = rho_k
             score[k] = s
     return HoughLines(jnp.asarray(rho), jnp.asarray(theta),

@@ -161,6 +161,12 @@ def detect(image, max_features: int = 200, sigma0: float = 1.6,
                                 contrast_threshold, edge_ratio, border)
         parts.append(SiftKeypoints(kp.ys * f, kp.xs * f, kp.sigmas * f,
                                    kp.scores, kp.valid))
+    if not parts:
+        # image smaller than the detection border: full-capacity dead
+        # slots (fixed shapes, nothing valid) instead of a crash
+        z = jnp.zeros((max_features,), jnp.float32)
+        return SiftKeypoints(z, z, z, z,
+                             jnp.zeros((max_features,), bool))
     return SiftKeypoints(*[jnp.concatenate(leaves)
                            for leaves in zip(*parts)])
 
@@ -270,5 +276,10 @@ def detect_describe(image, max_features: int = 200, num_octaves: int = 4,
         kps.append(SiftKeypoints(kp.ys * f, kp.xs * f, kp.sigmas * f,
                                  kp.scores, kp.valid))
         descs.append(desc)
+    if not kps:
+        z = jnp.zeros((max_features,), jnp.float32)
+        return (SiftKeypoints(z, z, z, z,
+                              jnp.zeros((max_features,), bool)),
+                jnp.zeros((max_features, 128), jnp.float32))
     kp = SiftKeypoints(*[jnp.concatenate(leaves) for leaves in zip(*kps)])
     return kp, jnp.concatenate(descs)

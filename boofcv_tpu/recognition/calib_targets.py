@@ -73,7 +73,7 @@ def _square_quad_candidates(image, min_area: int = 20):
     return out
 
 
-def detect_square_grid_auto(image, min_area: int = 20):
+def detect_square_grid_auto(image, min_area: int = 20, quads=None):
     """Square-grid target with UNKNOWN size and occlusion tolerance
     (SquaresIntoRegularClusters.java + SquareGridTools.java:37 analog).
 
@@ -86,9 +86,12 @@ def detect_square_grid_auto(image, min_area: int = 20):
     homography axes (SquareGridTools.orderSquareCorners analog).
 
     Returns (corner_grid [2R, 2C, 2], corner_mask [2R, 2C]) or None;
-    cells of occluded/missed squares are mask=False.
+    cells of occluded/missed squares are mask=False.  ``quads``: optional
+    precomputed ``_square_quad_candidates`` output (the known-size entry
+    shares one detection pass between the auto and fallback paths).
     """
-    quads = _square_quad_candidates(image, min_area)
+    if quads is None:
+        quads = _square_quad_candidates(image, min_area)
     if len(quads) < 4:
         return None
     centers = np.stack([c for _, c, _ in quads])
@@ -156,16 +159,27 @@ def detect_square_grid(image, rows: int, cols: int, min_area: int = 20):
 
     Returns [4*rows*cols, 2] (x, y) row-major, or None.
     """
-    res = detect_square_grid_auto(image, min_area)
+    cand = _square_quad_candidates(image, min_area)
+    res = detect_square_grid_auto(image, min_area, quads=cand)
     if res is not None:
         grid, mask = res
+        # canonicalize orientation among the shape-matching proper
+        # rotations (k and k+2 both match for non-square lattices):
+        # smallest x+y origin corner, the same convention _order_grid
+        # uses — otherwise per-view orderings flip 180 degrees
+        # nondeterministically and scramble calibration correspondences
+        best = None
         for k in range(4):
             g = np.rot90(grid, k, axes=(0, 1))
             m = np.rot90(mask, k)
             if m.shape == (2 * rows, 2 * cols) and m.all():
-                return g.reshape(-1, 2)
+                s = float(g[0, 0].sum())
+                if best is None or s < best[0]:
+                    best = (s, g)
+        if best is not None:
+            return best[1].reshape(-1, 2)
     want = rows * cols
-    quads = [(q, s) for q, _, s in _square_quad_candidates(image, min_area)]
+    quads = [(q, s) for q, _, s in cand]
     if len(quads) < want:
         return None
     if len(quads) > want:

@@ -98,7 +98,6 @@ def test_connect_segments_merges_fragments():
     img = np.zeros((h, w), np.float32)
     yy, xx = np.mgrid[0:h, 0:w]
     # line A: horizontal y=40 from x=10..180; line B: diagonal
-    img[np.abs(yy - 40) <= 1 & 1] = 0  # no-op guard
     img[(np.abs(yy - 40) <= 1) & (xx >= 10) & (xx <= 180)] = 200.0
     d = np.abs((yy - 90) - 0.4 * (xx - 20))
     img[(d <= 1.2) & (xx >= 20) & (xx <= 170)] = 200.0
