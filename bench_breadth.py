@@ -114,6 +114,26 @@ def _roofline(metric, ms, flops, bytes_moved):
          f"{gbs:.0f} GB/s ({gbs * 1e9 / _PEAK_HBM * 100:.0f}% of HBM peak)")
 
 
+
+def _time_cpu(fn, reps=3):
+    """Best-of-``reps`` wall time for a CPU baseline: allocation-heavy
+    numpy baselines swing 5x+ run-to-run on this host (BM measured
+    0.8-11.4 s across reps for identical work), and the MINIMUM is the
+    measurement most generous to the CPU side.  Returns
+    (best_ms, first_result)."""
+    best = None
+    out = None
+    for i in range(reps):
+        t0 = time.perf_counter()
+        r = fn()
+        dt = (time.perf_counter() - t0) * 1000.0
+        if out is None:
+            out = r
+        if best is None or dt < best:
+            best = dt
+    return best, out
+
+
 # ---------------------------------------------------------------------------
 # numpy baselines
 # ---------------------------------------------------------------------------
@@ -334,9 +354,7 @@ def bench_disparity():
     _log(f"# disparity-BM device: {ms_bm:.1f} ms (median err {err:.2f} px,"
          f" valid {ok.mean():.2f})")
 
-    t0 = time.perf_counter()
-    dn = _np_block_match(*pairs[0][:2])
-    cpu_bm = (time.perf_counter() - t0) * 1000.0
+    cpu_bm, dn = _time_cpu(lambda: _np_block_match(*pairs[0][:2]))
     errn = np.median(np.abs(dn - gt)[dn > 0])
     _log(f"# disparity-BM numpy baseline: {cpu_bm:.1f} ms "
          f"(median err {errn:.2f} px)")
@@ -359,9 +377,7 @@ def bench_disparity():
     _log(f"# disparity-SGM device: {ms_sgm:.1f} ms (median err {err:.2f}"
          f" px, valid {ok.mean():.2f})")
 
-    t0 = time.perf_counter()
-    dn = _np_sgm(*pairs[0][:2])
-    cpu_sgm = (time.perf_counter() - t0) * 1000.0
+    cpu_sgm, dn = _time_cpu(lambda: _np_sgm(*pairs[0][:2]))
     errn = np.median(np.abs(dn - gt)[dn > 0])
     _log(f"# disparity-SGM numpy baseline: {cpu_sgm:.1f} ms "
          f"(median err {errn:.2f} px)")
@@ -395,9 +411,8 @@ def bench_surf():
     nd = np.asarray(f(*inputs[0])).shape[0]
     _log(f"# SURF detect+describe device: {ms:.1f} ms ({nd} features)")
 
-    t0 = time.perf_counter()
-    fy, fx, desc = _np_surf_detdesc(imgs[0], max_feats=nd)
-    cpu = (time.perf_counter() - t0) * 1000.0
+    cpu, (fy, fx, desc) = _time_cpu(
+        lambda: _np_surf_detdesc(imgs[0], max_feats=nd))
     _log(f"# SURF numpy baseline: {cpu:.1f} ms ({len(fy)} features)")
     print(json.dumps({
         "metric": "surf_detdesc_ms_640x480_1000f",
@@ -429,9 +444,7 @@ def bench_associate():
 
     a0 = np.asarray(base, np.float32)
     b0 = np.asarray(variants[0][1], np.float32)
-    t0 = time.perf_counter()
-    fwd, mutual = _np_associate(a0, b0)
-    cpu = (time.perf_counter() - t0) * 1000.0
+    cpu, (fwd, mutual) = _time_cpu(lambda: _np_associate(a0, b0))
     _log(f"# association numpy baseline: {cpu:.1f} ms "
          f"({int(mutual.sum())}/{N} mutual)")
     # the [10k, 64] x [64, 10k] distance matmul dominates: 2*N*N*D
@@ -603,9 +616,8 @@ def bench_zhang99():
     _log(f"# zhang99 device: {ms:.1f} ms (fx err "
          f"{abs(res.K[0, 0] - K_gt[0, 0]):.2f}, rmse {res.reprojection_rmse:.3f})")
 
-    t0 = time.perf_counter()
-    p, rmse = _np_zhang99(world, obs, iterations=20)
-    cpu = (time.perf_counter() - t0) * 1000.0
+    cpu, (p, rmse) = _time_cpu(lambda: _np_zhang99(world, obs,
+                                                   iterations=20))
     _log(f"# zhang99 numpy baseline: {cpu:.1f} ms (fx err "
          f"{abs(p[0] - K_gt[0, 0]):.2f}, rmse {rmse:.3f})")
     print(json.dumps({
@@ -674,9 +686,7 @@ def bench_flow():
     _log(f"# HS-flow device: {ms:.1f} ms (mean endpoint err {err:.2f} px"
          f" at ({dxe}, {dye}))")
 
-    t0 = time.perf_counter()
-    un, vn = _np_horn_schunck(*pairs[0][:2])
-    cpu = (time.perf_counter() - t0) * 1000.0
+    cpu, (un, vn) = _time_cpu(lambda: _np_horn_schunck(*pairs[0][:2]))
     errn = np.hypot(un[c] - dxe, vn[c] - dye).mean()
     _log(f"# HS-flow numpy baseline: {cpu:.1f} ms (mean endpoint err "
          f"{errn:.2f} px)")
@@ -749,9 +759,7 @@ def bench_canny():
     mask_dev = np.asarray(f(*inputs[0])) > 0
     _log(f"# canny device: {ms:.1f} ms ({int(mask_dev.sum())} edge px)")
 
-    t0 = time.perf_counter()
-    mask_np = _np_canny(imgs[0], low, high)
-    cpu = (time.perf_counter() - t0) * 1000.0
+    cpu, mask_np = _time_cpu(lambda: _np_canny(imgs[0], low, high))
     inter = (mask_dev & mask_np).sum()
     union = (mask_dev | mask_np).sum()
     _log(f"# canny numpy baseline: {cpu:.1f} ms ({int(mask_np.sum())} px, "
