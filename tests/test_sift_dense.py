@@ -147,3 +147,31 @@ def test_sift_multi_octave_4x_scale_matching():
     sg2 = np.asarray(kp2.sigmas)[dst][good]
     ratio = np.median(sg2 / sg1)
     assert 2.5 < ratio < 6.5, ratio
+
+
+def test_sift_first_octave_minus_one_small_features():
+    """sigma~2 blobs sit on octave 0's scale-axis boundary (the 3x3x3
+    extremum test needs an interior scale) — the upsampled first octave
+    (SiftScaleSpace firstOctave=-1) must recover them."""
+    rng = np.random.default_rng(6)
+    n = 6
+    pos = np.stack([rng.uniform(24, 104, n), rng.uniform(24, 104, n)], 1)
+    yy, xx = np.mgrid[0:128, 0:128]
+    img = np.zeros((128, 128), np.float32)
+    for cy, cx in pos:
+        img += 200 * np.exp(-0.5 * (((yy - cy) / 2.0) ** 2
+                                    + ((xx - cx) / 2.0) ** 2))
+    img += rng.normal(0, 0.5, img.shape).astype(np.float32)
+    kp = sift.detect(jnp.asarray(img), max_features=12,
+                     contrast_threshold=3.0, num_octaves=3,
+                     first_octave=-1)
+    v = np.asarray(kp.valid)
+    found = np.stack([np.asarray(kp.ys)[v], np.asarray(kp.xs)[v]], 1)
+    hits = 0
+    for p in pos:
+        if len(found) and np.linalg.norm(found - p, axis=1).min() < 3.0:
+            hits += 1
+    assert hits >= 5, (hits, len(found))
+    # tiny images return masked-dead keypoints instead of crashing
+    kp0 = sift.detect(jnp.zeros((16, 16), jnp.float32))
+    assert not np.asarray(kp0.valid).any()
