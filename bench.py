@@ -424,13 +424,13 @@ def bench_window_ba():
     print(f"# window-BA final reproj RMS (normalized coords): {rms:.2e}",
           file=sys.stderr, flush=True)
 
-    # best-of-2: allocation-heavy numpy baselines swing ~2x run-to-run
-    # on this host (bench_breadth._time_cpu rationale)
-    cpu_s, cpu_cost = _np_lm_schur_baseline(
+    # best-of-2 (allocation-heavy numpy baselines swing ~2x run-to-run
+    # on this host — bench_breadth._time_cpu rationale).  The baseline
+    # times its own solve loop, so take the min of its reported seconds.
+    runs = [_np_lm_schur_baseline(
         Rs_n, ts_n, pts_n, obs_xy, obs_view, obs_valid, fixed)
-    cpu_s2, _ = _np_lm_schur_baseline(
-        Rs_n, ts_n, pts_n, obs_xy, obs_view, obs_valid, fixed)
-    cpu_s = min(cpu_s, cpu_s2)
+        for _ in range(2)]
+    cpu_s, cpu_cost = min(runs, key=lambda r: r[0])
     print(f"# window-BA CPU scipy-Schur baseline: {cpu_s*1000:.1f} ms "
           f"(final cost {cpu_cost:.3e} vs TPU {float(info['final_cost']):.3e})",
           file=sys.stderr, flush=True)

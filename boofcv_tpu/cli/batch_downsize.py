@@ -46,11 +46,13 @@ def main(argv=None):
     g.add_argument("--max-size", type=int,
                    help="largest output side length, aspect preserved")
     g.add_argument("--scale", type=float,
-                   help="shrink factor > 1 (2 halves each side)")
+                   help="shrink factor >= 1 (2 halves each side)")
     args = ap.parse_args(argv)
     if args.scale is not None and args.scale < 1.0:
         ap.error("--scale is a shrink factor >= 1 (2 halves each side); "
                  f"got {args.scale}")
+    if args.max_size is not None and args.max_size < 1:
+        ap.error(f"--max-size must be >= 1; got {args.max_size}")
 
     import numpy as np
     from boofcv_tpu.io import image_io

@@ -73,6 +73,25 @@ def _square_quad_candidates(image, min_area: int = 20):
     return out
 
 
+
+def _canonical_rotation(grid, mask, out_shape):
+    """Among the proper rotations of (grid, mask) matching ``out_shape``
+    with every cell present, return the one whose origin cell has the
+    smallest x+y (the `_order_grid` convention) — or None.  Two of the
+    four rotations match for non-square shapes (k and k+2), all four
+    for square shapes; picking the FIRST match made per-view orderings
+    flip 180 degrees nondeterministically."""
+    best = None
+    for k in range(4):
+        g = np.rot90(grid, k, axes=(0, 1))
+        m = np.rot90(mask, k)
+        if m.shape == out_shape and m.all():
+            s = float(g[0, 0].sum())
+            if best is None or s < best[0]:
+                best = (s, g)
+    return None if best is None else best[1]
+
+
 def detect_square_grid_auto(image, min_area: int = 20, quads=None):
     """Square-grid target with UNKNOWN size and occlusion tolerance
     (SquaresIntoRegularClusters.java + SquareGridTools.java:37 analog).
@@ -162,22 +181,9 @@ def detect_square_grid(image, rows: int, cols: int, min_area: int = 20):
     cand = _square_quad_candidates(image, min_area)
     res = detect_square_grid_auto(image, min_area, quads=cand)
     if res is not None:
-        grid, mask = res
-        # canonicalize orientation among the shape-matching proper
-        # rotations (k and k+2 both match for non-square lattices):
-        # smallest x+y origin corner, the same convention _order_grid
-        # uses — otherwise per-view orderings flip 180 degrees
-        # nondeterministically and scramble calibration correspondences
-        best = None
-        for k in range(4):
-            g = np.rot90(grid, k, axes=(0, 1))
-            m = np.rot90(mask, k)
-            if m.shape == (2 * rows, 2 * cols) and m.all():
-                s = float(g[0, 0].sum())
-                if best is None or s < best[0]:
-                    best = (s, g)
-        if best is not None:
-            return best[1].reshape(-1, 2)
+        g = _canonical_rotation(*res, (2 * rows, 2 * cols))
+        if g is not None:
+            return g.reshape(-1, 2)
     want = rows * cols
     quads = [(q, s) for q, _, s in cand]
     if len(quads) < want:
@@ -407,12 +413,9 @@ def detect_circle_regular_grid(image, rows: int, cols: int,
     # mirror-handed world<->image correspondence.
     res = detect_circle_regular_grid_auto(image, min_area)
     if res is not None:
-        grid, mask = res
-        for k in range(4):
-            g = np.rot90(grid, k, axes=(0, 1))
-            m = np.rot90(mask, k)
-            if m.shape == (rows, cols) and m.all():
-                return g.reshape(-1, 2)
+        g = _canonical_rotation(*res, (rows, cols))
+        if g is not None:
+            return g.reshape(-1, 2)
     centers = _circle_centers(image, rows, cols, min_area)
     if centers is None:
         return None
