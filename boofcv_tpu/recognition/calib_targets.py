@@ -488,6 +488,11 @@ def detect_circle_hexagonal_grid(image, rows: int, cols: int,
     if auto is not None and len(auto["points"]) == num:
         ij0 = np.array([(i, j) for i, j, _, _ in auto["points"]])
         xy = np.array([(x, y) for _, _, x, y in auto["points"]])
+        # among the shape- and parity-preserving rotations, pick the one
+        # whose FIRST ordered point has the smallest x+y — the same
+        # deterministic-orientation rule as _canonical_rotation (taking
+        # the first match flipped per-view orderings 180 degrees)
+        best = None
         for k in range(4):
             p = ij0.copy()
             for _ in range(k):
@@ -499,7 +504,11 @@ def detect_circle_hexagonal_grid(image, rows: int, cols: int,
                     != (rows, cols):
                 continue
             order = np.lexsort((p[:, 1], p[:, 0]))
-            return xy[order]
+            s = float(xy[order][0].sum())
+            if best is None or s < best[0]:
+                best = (s, xy[order])
+        if best is not None:
+            return best[1]
     found = []
     for contour, area in _black_blob_contours(image, min_area):
         e = shapes.fit_ellipse(contour)
