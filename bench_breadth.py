@@ -1,5 +1,6 @@
 """Breadth benchmarks: dense disparity (BM + SGM), SURF detect+describe,
-at-scale association, Zhang99 calibration — each timed steady-state on
+at-scale association, Horn-Schunck dense flow, Canny, Zhang99
+calibration — each timed steady-state on
 device against a MEASURED vectorized-numpy CPU baseline (the
 ``bench._np_lm_schur_baseline`` pattern; the reference itself cannot run
 here — no JVM — so the baseline is an honest vectorized reimplementation
