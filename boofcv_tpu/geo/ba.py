@@ -222,6 +222,33 @@ def _scale_jacobians(obs_view, Jv, Jp, num_views: int, hvv_diag=None):
     return Jv_s, Jp_s, s_v, s_p
 
 
+def _point_blocks(Jv, Jp, r, lam, solve_dtype):
+    """Per-point Schur building blocks shared by BOTH reduced-system
+    assemblies (`_local_system` and the chunked `_local_system_kvjw` —
+    one source of truth for the block algebra and the damping constant).
+
+    Jv [..., L, 2, D], Jp [..., L, 2, 3], r [..., L, 2] ->
+    (Hpp_inv [..., 3, 3], W [..., L, 3, D], gp [..., 3],
+     gv_obs [..., L, D], Hvv_obs [..., L, D, D], Y [..., L, 3, D],
+     corr [..., L, D]).
+    """
+    from boofcv_tpu.geo.smalllinalg import inv3
+
+    Hpp = jnp.einsum("plki,plkj->pij", Jp, Jp)
+    W = jnp.einsum("plki,plkj->plij", Jp, Jv)
+    gp = -jnp.einsum("plki,plk->pi", Jp, r)
+    gv_obs = -jnp.einsum("plki,plk->pli", Jv, r)
+    eyeP = jnp.eye(3, dtype=solve_dtype)
+    Hpp_inv = inv3(Hpp.astype(solve_dtype)
+                   + (jnp.asarray(lam, solve_dtype) + 1e-12) * eyeP
+                   ).astype(W.dtype)
+    Hvv_obs = jnp.einsum("plki,plkj->plij", Jv, Jv)
+    Y = jnp.einsum("pij,pljk->plik", Hpp_inv, W)
+    hp = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
+    corr = jnp.einsum("plij,pi->plj", W, hp)
+    return Hpp_inv, W, gp, gv_obs, Hvv_obs, Y, corr
+
+
 def _local_system(obs_view, Jv, Jp, r, lam, num_views: int,
                   solve_dtype=None):
     """Per-point-shard contributions to the reduced camera system.
@@ -242,24 +269,10 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int,
     P, L = obs_view.shape
     V = num_views
     D = Jv.shape[-1]
-
-    Hpp = jnp.einsum("plki,plkj->pij", Jp, Jp)              # [P, 3, 3]
-    W = jnp.einsum("plki,plkj->plij", Jp, Jv)                # [P, L, 3, D]
-    gp = -jnp.einsum("plki,plk->pi", Jp, r)                  # [P, 3]
-    gv_obs = -jnp.einsum("plki,plk->pli", Jv, r)             # [P, L, D]
-
-    from boofcv_tpu.geo.smalllinalg import inv3
     if solve_dtype is None:
-        solve_dtype = Hpp.dtype
-    eyeP = jnp.eye(3, dtype=solve_dtype)
-    Hpp_inv = inv3(Hpp.astype(solve_dtype)
-                   + (jnp.asarray(lam, solve_dtype) + 1e-12) * eyeP
-                   ).astype(Hpp.dtype)
-
-    Hvv_obs = jnp.einsum("plki,plkj->plij", Jv, Jv)          # [P, L, D, D]
-    Y = jnp.einsum("pij,pljk->plik", Hpp_inv, W)             # [P, L, 3, D]
-    hp = jnp.einsum("pij,pj->pi", Hpp_inv, gp)               # [P, 3]
-    corr = jnp.einsum("plij,pi->plj", W, hp)                 # [P, L, D]
+        solve_dtype = Jp.dtype
+    Hpp_inv, W, gp, gv_obs, Hvv_obs, Y, corr = _point_blocks(
+        Jv, Jp, r, lam, solve_dtype)
 
     # All view-indexed reductions below are segment sums.  TPU scatter-add
     # is element-serialized (the [V^2, D, D] Schur fill alone measured
@@ -269,7 +282,7 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int,
     # fine through V~few hundred; larger scenes use the scatter fallback.
     use_matmul = P * V * 3 * D <= 32_000_000
     if use_matmul:
-        O = jax.nn.one_hot(obs_view, V, dtype=Hpp.dtype)     # [P, L, V]
+        O = jax.nn.one_hot(obs_view, V, dtype=W.dtype)     # [P, L, V]
         Hvv = jnp.einsum("plv,plij->vij", O, Hvv_obs)
         gv = jnp.einsum("plv,pli->vi", O, gv_obs)
         # Schur fill-in: S[v1,v2] = sum_p (sum_l O W)^T_ (sum_m O Y):
@@ -280,18 +293,18 @@ def _local_system(obs_view, Jv, Jp, r, lam, num_views: int,
         gv_t = gv - jnp.einsum("plv,plj->vj", O, corr)
     else:
         flat_view = obs_view.reshape(-1)
-        Hvv = jnp.zeros((V, D, D), Hpp.dtype).at[flat_view].add(
+        Hvv = jnp.zeros((V, D, D), W.dtype).at[flat_view].add(
             Hvv_obs.reshape(-1, D, D))
-        gv = jnp.zeros((V, D), Hpp.dtype).at[flat_view].add(
+        gv = jnp.zeros((V, D), W.dtype).at[flat_view].add(
             gv_obs.reshape(-1, D))
         pair = jnp.einsum("plik,pmij->plmkj", W, Y)          # [P,L,L,D,D]
         vi = jnp.broadcast_to(obs_view[:, :, None], (P, L, L))
         vj = jnp.broadcast_to(obs_view[:, None, :], (P, L, L))
         flat_idx = (vi * V + vj).reshape(-1)
-        S = jnp.zeros((V * V, D, D), Hpp.dtype).at[flat_idx].add(
+        S = jnp.zeros((V * V, D, D), W.dtype).at[flat_idx].add(
             pair.reshape(-1, D, D))
         S = -S.reshape(V, V, D, D)
-        gv_t = gv - jnp.zeros((V, D), Hpp.dtype).at[flat_view].add(
+        gv_t = gv - jnp.zeros((V, D), W.dtype).at[flat_view].add(
             corr.reshape(-1, D))
     S = S.at[jnp.arange(V), jnp.arange(V)].add(Hvv)
     return S, gv_t, Hpp_inv, W, gp
@@ -359,25 +372,14 @@ def _local_system_kvjw(obs_view, Jv, Jp, r, lam, num_views: int,
         obs_view, Jv, Jp, r = z(obs_view), z(Jv), z(Jp), z(r)
     Pp = obs_view.shape[0]
     nc = Pp // chunk
-    eyeP = jnp.eye(3, dtype=solve_dtype)
-    lam_s = jnp.asarray(lam, solve_dtype) + 1e-12
-
-    from boofcv_tpu.geo.smalllinalg import inv3
 
     def body(carry, inp):
         T, Hvv, gv_t = carry
         ov, jv, jp, rc = inp                 # [C,L], [C,L,2,D], [C,L,2,3]
         C = ov.shape[0]
-        Hpp = jnp.einsum("plki,plkj->pij", jp, jp)
-        W = jnp.einsum("plki,plkj->plij", jp, jv)            # [C, L, 3, D]
-        gp = -jnp.einsum("plki,plk->pi", jp, rc)
-        gv_obs = -jnp.einsum("plki,plk->pli", jv, rc)
-        Hpp_inv = inv3(Hpp.astype(solve_dtype) + lam_s * eyeP
-                       ).astype(Hpp.dtype)
-        Y = jnp.einsum("pij,pljk->plik", Hpp_inv, W)
-        hp = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        corr = jnp.einsum("plij,pi->plj", W, hp)
-        O = jax.nn.one_hot(ov, V, dtype=Hpp.dtype)           # [C, L, V]
+        Hpp_inv, W, gp, gv_obs, Hvv_obs, Y, corr = _point_blocks(
+            jv, jp, rc, lam, solve_dtype)
+        O = jax.nn.one_hot(ov, V, dtype=W.dtype)             # [C, L, V]
         # gather-as-matmul with the SMALL (3D) axis leading and V
         # trailing: [C, 3D, V] pads ~1.3x (vs 21x for [..., V, D])
         Wt = jnp.einsum("pla,plv->pav",
@@ -385,7 +387,6 @@ def _local_system_kvjw(obs_view, Jv, Jp, r, lam, num_views: int,
         Yt = jnp.einsum("pla,plv->pav",
                         Y.reshape(C, L, 3 * D), O).reshape(C, 3, D, V)
         T = T - jnp.einsum("pikv,pijw->kvjw", Wt, Yt)
-        Hvv_obs = jnp.einsum("plki,plkj->plij", jv, jv)
         Hvv = Hvv + jnp.einsum("plv,plij->vij", O, Hvv_obs)
         gv_t = gv_t + jnp.einsum("plv,pli->vi", O, gv_obs - corr)
         return (T, Hvv, gv_t), (Hpp_inv, W, gp)

@@ -128,9 +128,13 @@ def fundamental_7pt(p1, p2):
     dm = det_at(-1.0)
     d2 = det_at(2.0)
     # p(t)=c3 t^3+c2 t^2+c1 t+c0 with p(0)=d0,p(1)=d1,p(-1)=dm,p(2)=d2
+    # p(1)+p(-1): 2c2 + 2c0;  p(2) - [p(1)-p(-1)] elimination gives c3
+    # (verified: the interpolated cubic reproduces det() to ~1e-16; the
+    # previous c3 formula was off by (d0-d1)/3, so the "roots" left
+    # det(F) ~ 0.03 and no returned candidate was rank-2)
     c0 = d0
     c2 = (d1 + dm) / 2.0 - d0
-    c3 = (d2 - 2.0 * d1 + 2.0 * dm - d0 - 6.0 * c2) / 6.0
+    c3 = (d2 + 3.0 * d0 - 3.0 * d1 - dm) / 6.0
     c1 = d1 - d0 - c2 - c3
     roots, real = _cubic_roots(c3, c2, c1, c0)
 
@@ -266,10 +270,19 @@ def select_pose_cheirality(R4, t4, p1, p2):
         z2 = X2[..., 2]
         return jnp.sum((z1 > 0) & (z2 > 0), axis=-1)
 
-    counts = jax.vmap(count, in_axes=(0, 0))(R4, t4) if R4.ndim == 3 else \
-        jax.vmap(count, in_axes=(-3, -2))(R4, t4)
-    best = jnp.argmax(counts)
-    return R4[best], t4[best], best
+    if R4.ndim == 3:
+        counts = jax.vmap(count, in_axes=(0, 0))(R4, t4)
+        best = jnp.argmax(counts)
+        return R4[best], t4[best], best
+    # batched candidates [..., 4, 3, 3]: select per batch element (the
+    # old flattened argmax indexed the wrong axis)
+    lead = R4.shape[:-3]
+    Rf = R4.reshape((-1, 4, 3, 3))
+    tf = t4.reshape((-1, 4, 3))
+    Rb, tb, bb = jax.vmap(
+        lambda R_, t_: select_pose_cheirality(R_, t_, p1, p2))(Rf, tf)
+    return (Rb.reshape(lead + (3, 3)), tb.reshape(lead + (3,)),
+            bb.reshape(lead))
 
 
 def epipoles_from_fundamental(F):

@@ -91,7 +91,10 @@ def rigid_from_three_points(world, cam):
         return jnp.stack([e1, e2, e3], axis=-1)      # columns
     Bw = frame(world)
     Bc = frame(cam)
-    R = Bc @ jnp.swapaxes(Bw, -1, -2)
+    # pin full precision: the TPU default computes these f32/f64 matmuls
+    # at bf16-grade, which capped the "f64 oracle" P3P path at ~2e-3
+    # rotation error on-device
+    R = jnp.einsum("...ij,...kj->...ik", Bc, Bw, precision="highest")
     cw = jnp.mean(world, axis=-2)
     cc = jnp.mean(cam, axis=-2)
     t = cc - (R @ cw[..., None])[..., 0]
@@ -176,8 +179,11 @@ def p3p_grunert(world, obs, dtype=jnp.float64):
     cam3 = s3[..., None] * f3[..., None, :]
     cam = jnp.stack([cam1, cam2, cam3], axis=-2)  # [..., 4, 3pts, 3]
     worldr = jnp.broadcast_to(world[..., None, :, :], cam.shape)
-    R, t = rigid_from_three_points(worldr.astype(jnp.float32),
-                                   cam.astype(jnp.float32))
+    # honor the requested dtype: the f32 cast here silently capped the
+    # documented f64 path at f32 accuracy (6.6e-8 rotation error instead
+    # of ~2e-16); the RANSAC fast path passes dtype=float32 explicitly
+    R, t = rigid_from_three_points(worldr.astype(dtype),
+                                   cam.astype(dtype))
     return R.astype(dtype), t.astype(dtype), ok
 
 
@@ -416,7 +422,11 @@ def epnp(world, obs, refine_iterations: int = 10):
     # barycentric coordinates: [4] per point with sum = 1
     Cmat = jnp.concatenate([ctrl.T, jnp.ones((1, 4), jnp.float64)], axis=0)
     rhs = jnp.concatenate([world.T, jnp.ones((1, n), jnp.float64)], axis=0)
-    alpha = jnp.linalg.solve(Cmat, rhs).T                   # [N, 4]
+    # normal-equations solve via eigh: f64 LU (jnp.linalg.solve) does not
+    # lower on TPU (see smalllinalg); Cmat is well-conditioned by the
+    # principal-axes control-point choice
+    from boofcv_tpu.geo.smalllinalg import inv_spd, solve33
+    alpha = (inv_spd(Cmat.T @ Cmat) @ (Cmat.T @ rhs)).T     # [N, 4]
 
     # M x = 0 with x = camera coords of the 4 control points (12 vector)
     u = obs[:, 0]
@@ -452,7 +462,7 @@ def epnp(world, obs, refine_iterations: int = 10):
     e2 = v2[iu] - v2[ju]
     L = jnp.stack([jnp.sum(e1 * e1, 1), 2 * jnp.sum(e1 * e2, 1),
                    jnp.sum(e2 * e2, 1)], axis=1)            # [6, 3]
-    bb = jnp.linalg.lstsq(L, dw * dw)[0]
+    bb = solve33(L.T @ L, L.T @ (dw * dw))
     b1 = jnp.sqrt(jnp.maximum(bb[0], 1e-30))
     b2 = jnp.sign(bb[1]) * jnp.sqrt(jnp.maximum(bb[2], 0.0))
     Rb, tb = pose_from_ctrl(b1 * v1 + b2 * v2)

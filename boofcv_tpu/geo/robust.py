@@ -164,6 +164,11 @@ def ransac_fundamental(key, p1, p2, num_hypotheses: int = 512,
     thr = inlier_threshold_px ** 2
     p164 = p1.astype(jnp.float64)
     p264 = p2.astype(jnp.float64)
+    # err must exist when refit_rounds == 0 (the MSAC score below)
+    err = epipolar.sampson_error(F, p164, p264)
+    err = jnp.where(jnp.isnan(err), jnp.inf, err)
+    if valid_mask is not None:
+        err = jnp.where(valid_mask, err, jnp.inf)
     for _ in range(refit_rounds):
         F = epipolar.fundamental_8pt(p164, p264, weights=inliers)
         err = epipolar.sampson_error(F, p164, p264)

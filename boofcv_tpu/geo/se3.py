@@ -42,17 +42,42 @@ def exp_so3(w):
 
 
 def log_so3(R):
-    """[..., 3, 3] -> [..., 3] axis-angle."""
+    """[..., 3, 3] -> [..., 3] axis-angle.
+
+    Three regimes: small angles (series for theta/(2 sin theta)),
+    generic, and NEAR PI — where v = vee(R - R^T) = 2 sin(theta) * axis
+    vanishes while the generic scale diverges (a plain theta/(2 sin)
+    formula returned [0,0,0] at exactly 180 degrees and ~1e10-scale
+    garbage at pi - 1e-4).  Near pi the axis is recovered from
+    B = (R + I)/2 = axis axis^T + O(pi - theta): the largest column of B
+    normalizes to +-axis, and the sign is aligned with v when v is
+    nonzero (at exactly pi both signs are equivalent)."""
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arccos(cos_t)
     v = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
                    R[..., 0, 2] - R[..., 2, 0],
                    R[..., 1, 0] - R[..., 0, 1]], axis=-1)
-    small = theta[..., None] < 1e-7
-    scale = jnp.where(small[..., 0], 0.5 + theta ** 2 / 12.0,
-                      theta / (2.0 * jnp.where(small[..., 0], 1.0, jnp.sin(theta))))
-    return v * scale[..., None]
+    small = theta < 1e-7
+    near_pi = theta > jnp.pi - 1e-3
+    sin_safe = jnp.where(small | near_pi, 1.0, jnp.sin(theta))
+    scale = jnp.where(small, 0.5 + theta ** 2 / 12.0,
+                      theta / (2.0 * sin_safe))
+    w_generic = v * scale[..., None]
+    # near-pi branch: the SYMMETRIC part (R + R^T)/2 - cos(theta) I =
+    # (1 - cos theta) axis axis^T exactly — symmetrizing removes the
+    # O(pi - theta) skew contamination a raw (R + I)/2 column carries
+    S = 0.5 * (R + jnp.swapaxes(R, -1, -2)) \
+        - cos_t[..., None, None] * jnp.eye(3, dtype=R.dtype)
+    diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], -1)
+    k = jnp.argmax(diag, axis=-1)
+    col = jnp.take_along_axis(S, k[..., None, None], axis=-1)[..., 0]
+    nrm = jnp.linalg.norm(col, axis=-1, keepdims=True)
+    axis = col / jnp.where(nrm < 1e-12, 1.0, nrm)
+    sign = jnp.where(jnp.sum(axis * v, axis=-1, keepdims=True) < 0.0,
+                     -1.0, 1.0)
+    w_pi = theta[..., None] * axis * sign
+    return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
 def exp_se3(xi):

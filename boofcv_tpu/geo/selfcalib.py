@@ -115,11 +115,9 @@ def self_calibrate_dual_quadratic(Ps, zero_skew: bool = True,
     # K of camera 0 from w0 = P0 Q* P0^T
     w0 = Ps[0] @ Q @ Ps[0].T
     w0 = w0 / w0[2, 2]
-    # K via Cholesky of w0 (w = K K^T)
-    K = np.linalg.cholesky(
-        (w0 + w0.T) / 2.0 + 1e-12 * np.eye(3))
-    # upper-triangularize: w = K K^T wants K upper; use the transpose trick
-    # via Cholesky of the inverse:
+    # K via w = K K^T with K UPPER triangular: Cholesky of the inverse
+    # (the transpose trick; a direct lower Cholesky of w0 was dead code
+    # that could raise LinAlgError on an indefinite w0 before this path)
     Winv = np.linalg.inv((w0 + w0.T) / 2.0 + 1e-12 * np.eye(3))
     L = np.linalg.cholesky(Winv)
     K = np.linalg.inv(L.T)

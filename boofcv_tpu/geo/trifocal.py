@@ -56,7 +56,6 @@ def trifocal_linear(p1, p2, p3):
     t = _smallest_singular_vector(A)
     T = t.reshape(t.shape[:-1] + (3, 3, 3))
     # denormalize: T'_k = N2^-1 (sum_r N1[r,k] T_r) N3^-T  with N = T mats
-    T1i = jnp.linalg.inv if False else None
     from boofcv_tpu.geo.smalllinalg import inv3
     N2i = inv3(T2)
     N3i = inv3(T3)
@@ -74,10 +73,22 @@ def transfer_1_to_3(T, p1, p2):
     standard method: choose line l2 through x2 (vertical), x3^j ~
     x1^k l2_i T_k[i, j]."""
     x1 = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], -1)
-    # line through x2 orthogonal-ish: l2 = (1, 0, -x2) is a vertical line
-    l2 = jnp.stack([jnp.ones_like(p2[..., 0]), jnp.zeros_like(p2[..., 0]),
-                    -p2[..., 0]], axis=-1)
-    x3 = jnp.einsum("...nk,...ni,kij->...nj", x1, l2, T)
+    # two candidate lines through x2 — vertical (1, 0, -x2) and
+    # horizontal (0, 1, -y2) — and keep, per point, the one whose
+    # transferred vector is larger before dehomogenization: a line that
+    # (nearly) coincides with x2's epipolar line transfers to ~0 (the
+    # reference avoids this by picking the line perpendicular to the
+    # epipolar line; the norm test selects the same nondegenerate choice
+    # without extracting epipoles)
+    one = jnp.ones_like(p2[..., 0])
+    zero = jnp.zeros_like(p2[..., 0])
+    l2v = jnp.stack([one, zero, -p2[..., 0]], axis=-1)
+    l2h = jnp.stack([zero, one, -p2[..., 1]], axis=-1)
+    x3v = jnp.einsum("...nk,...ni,kij->...nj", x1, l2v, T)
+    x3h = jnp.einsum("...nk,...ni,kij->...nj", x1, l2h, T)
+    use_v = (jnp.linalg.norm(x3v, axis=-1)
+             >= jnp.linalg.norm(x3h, axis=-1))[..., None]
+    x3 = jnp.where(use_v, x3v, x3h)
     w = x3[..., 2]
     w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     return x3[..., :2] / w[..., None]
