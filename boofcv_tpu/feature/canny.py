@@ -137,14 +137,14 @@ def edge_contours(mask) -> list[np.ndarray]:
     Host-side finisher, VECTORIZED (r5 — the per-pixel Python walk cost
     ~10 us/pixel and dominated dense 640x480 frames): neighbor ids are
     precomputed as one [N, 8] gather over shifted index images, then ALL
-    chains advance one step per numpy iteration in parallel — every
-    endpoint seeds a walker, each walker claims its first unvisited
-    neighbor (4-connected directions preferred, matching the sequential
-    tracer's tie-break), and simultaneous claims on one pixel are
-    resolved by keeping the first claimant (the loser re-picks or dies
-    next step).  Wall clock is O(longest chain) numpy steps of O(active
-    walkers) work.  Leftover pixels (pure loops, junction islands) seed
-    further rounds until every pixel is claimed.
+    chains advance one step per numpy iteration in parallel — each
+    round seeds ONE walker per 8-connected component of the remaining
+    pixels (endpoint preferred), and every walker claims its first
+    unvisited neighbor (4-connected directions preferred, matching the
+    sequential tracer's tie-break); per-component seeding means walkers
+    can never collide.  Wall clock is O(longest chain) numpy steps of
+    O(active walkers) work.  Leftover pixels (branches past junctions,
+    pure loops) seed further rounds until every pixel is claimed.
 
     Returns a list of [K, 2] (x, y) int32 arrays covering every edge
     pixel exactly once, consecutive entries 8-adjacent.
@@ -165,7 +165,6 @@ def edge_contours(mask) -> list[np.ndarray]:
     p[1:-1, 1:-1] = idx
     nbr = np.stack([p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w][ys, xs]
                     for dy, dx in offs], axis=1)            # [N, 8]
-    degree = (nbr >= 0).sum(1)
 
     visited = np.zeros(n, bool)
     chain_of = np.empty(n, np.int64)
@@ -189,12 +188,10 @@ def edge_contours(mask) -> list[np.ndarray]:
             if not len(cur):
                 break
             pick = ok[any_ok].argmax(1)
-            tgt = cand[any_ok, pick]
-            # resolve simultaneous claims: first walker wins
-            _, first = np.unique(tgt, return_index=True)
-            win = np.zeros(len(tgt), bool)
-            win[first] = True
-            cur, cid = tgt[win], cid[win]
+            # one walker per 8-connected component (seeding below), so
+            # two walkers can never claim the same pixel — no conflict
+            # resolution needed
+            cur, cid = cand[any_ok, pick], cid[any_ok]
             visited[cur] = True
             chain_of[cur] = cid
             step_of[cur] = step

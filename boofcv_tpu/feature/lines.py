@@ -364,20 +364,11 @@ def connect_segments(segs: GridLineSegments,
     own_hi = np.diag(hi).copy()
     gap = np.maximum(lo - own_hi[:, None], own_lo[:, None] - hi)
     compat = (dang <= angle_tol) & (perp <= dist_tol) & (gap <= gap_tol)
-    # union-find
-    parent = np.arange(M)
-
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
+    from boofcv_tpu.utils.unionfind import UnionFind
+    uf = UnionFind(M)
     for i, j in zip(*np.nonzero(np.triu(compat, 1))):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[rj] = ri
-    root = np.array([find(i) for i in range(M)])
+        uf.union(i, j)
+    root = uf.roots()
     out = []
     for r in np.unique(root):
         sel = root == r

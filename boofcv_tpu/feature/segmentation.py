@@ -104,30 +104,17 @@ def segment_mean_shift(image, spatial_radius: int = 3,
                                             range_sigma))
     h, w = filtered.shape
     # union-find over 4-neighbors with range merge criterion (host)
-    parent = np.arange(h * w)
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
+    from boofcv_tpu.utils.unionfind import UnionFind
+    uf = UnionFind(h * w)
     flat = filtered.ravel()
     for y in range(h):
         for x in range(w):
             i = y * w + x
             if x + 1 < w and abs(flat[i] - flat[i + 1]) < merge_threshold:
-                union(i, i + 1)
+                uf.union(i, i + 1)
             if y + 1 < h and abs(flat[i] - flat[i + w]) < merge_threshold:
-                union(i, i + w)
-    roots = np.array([find(i) for i in range(h * w)])
-    _, labels = np.unique(roots, return_inverse=True)
-    return labels.reshape(h, w).astype(np.int32), filtered
+                uf.union(i, i + w)
+    return uf.labels().reshape(h, w).astype(np.int32), filtered
 
 
 def watershed(image, markers):
@@ -255,15 +242,12 @@ def _fh04_merge_numpy(wr, wd, wdr, wdl, k, min_size):
     ea = np.concatenate(ea); eb = np.concatenate(eb)
     ew = np.concatenate(ew)
     order = np.argsort(ew, kind="stable")
-    parent = np.arange(n)
+    from boofcv_tpu.utils.unionfind import UnionFind
+    uf = UnionFind(n)
+    parent = uf.parent          # FH04 keeps bespoke size/threshold unions
+    find = uf.find
     size = np.ones(n, np.int64)
     thresh = np.full(n, k, np.float64)
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
     for e in order:
         a, b, wgt = find(ea[e]), find(eb[e]), ew[e]
@@ -283,8 +267,7 @@ def _fh04_merge_numpy(wr, wd, wdr, wdl, k, min_size):
                     a, b = b, a
                 parent[b] = a
                 size[a] += size[b]
-    roots = np.array([find(i) for i in range(n)])
-    _, labels = np.unique(roots, return_inverse=True)
+    labels = uf.labels()
     # renumber in raster order of first occurrence
     first = {}
     out = np.empty(n, np.int32)

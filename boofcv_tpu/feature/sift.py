@@ -130,16 +130,24 @@ def _octave_ladder(image, num_octaves: int, sigma0: float, num_scales: int,
     base = jnp.asarray(image, jnp.float32)
     if first_octave < -1 or first_octave > 0:
         raise ValueError("first_octave must be -1 or 0")
+    off = 0.0
     if first_octave == -1:
         h, w = base.shape
         base = jax.image.resize(base, (2 * h, 2 * w), "linear")
+        # jax.image.resize uses half-pixel centers: input u lands at
+        # 2u + 0.5 in the upsampled frame, and the top-left-aligned
+        # [::2, ::2] ladder preserves that frame — so every octave's
+        # full-res map is x_oct * 2^o - 0.25 (measured: without the
+        # offset, first_octave=-1 keypoints carried a systematic
+        # +0.25 px bias in both axes)
+        off = -0.25
     assume = False
     for o in range(first_octave, first_octave + num_octaves):
         if min(base.shape) < min_size:
             return
         stack, sigmas = gaussian_scale_stack(base, sigma0, num_scales,
                                              assume_blurred=assume)
-        yield stack, sigmas, 2.0 ** o
+        yield stack, sigmas, 2.0 ** o, off
         base = stack[num_scales][::2, ::2]
         assume = True
 
@@ -154,13 +162,13 @@ def detect(image, max_features: int = 200, sigma0: float = 1.6,
     ``max_features`` per octave (fixed shapes — dead slots are masked
     via ``valid``)."""
     parts = []
-    for stack, sigmas, f in _octave_ladder(image, num_octaves, sigma0,
-                                           num_scales, 2 * border + 8,
-                                           first_octave):
+    for stack, sigmas, f, off in _octave_ladder(image, num_octaves, sigma0,
+                                                num_scales, 2 * border + 1,
+                                                first_octave):
         kp = _detect_from_stack(stack, sigmas, max_features,
                                 contrast_threshold, edge_ratio, border)
-        parts.append(SiftKeypoints(kp.ys * f, kp.xs * f, kp.sigmas * f,
-                                   kp.scores, kp.valid))
+        parts.append(SiftKeypoints(kp.ys * f + off, kp.xs * f + off,
+                                   kp.sigmas * f, kp.scores, kp.valid))
     if not parts:
         # image smaller than the detection border: full-capacity dead
         # slots (fixed shapes, nothing valid) instead of a crash
@@ -173,14 +181,23 @@ def detect(image, max_features: int = 200, sigma0: float = 1.6,
 
 def orientation_histogram(image, ys, xs, sigmas, num_bins: int = 36):
     """Dominant gradient orientation per keypoint
-    (OrientationHistogramSift)."""
+    (OrientationHistogramSift).
+
+    The /1.6 below is the fixed window-to-scale proportionality
+    constant (sample spacing = sigma/1.6 pixels in the image the sigmas
+    are measured in), NOT a sigma0 normalization: because sigmas are
+    expressed in the same frame as the sampling coordinates, support is
+    proportional to the feature's PHYSICAL scale for any scale-space
+    base — dividing by sigma0 here would make descriptors
+    sigma0-dependent (measured: zero cross-sigma0 matches)."""
     img = jnp.asarray(image, jnp.float32)
     gy = jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)
     gx = jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)
     r = 8
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    yy = ys[:, None, None] + d[None, :, None] * (sigmas[:, None, None] / 1.6)
-    xx = xs[:, None, None] + d[None, None, :] * (sigmas[:, None, None] / 1.6)
+    rel = sigmas[:, None, None] / 1.6
+    yy = ys[:, None, None] + d[None, :, None] * rel
+    xx = xs[:, None, None] + d[None, None, :] * rel
     sgx = bilinear(gx, yy, xx)
     sgy = bilinear(gy, yy, xx)
     mag = jnp.hypot(sgx, sgy)
@@ -213,7 +230,7 @@ def describe(image, ys, xs, sigmas, angles, width_grid: int = 4,
     d = (jnp.arange(width_grid * width_sub, dtype=jnp.float32)
          - half + 0.5)                                    # [-7.5 .. 7.5]
     n = ys.shape[0]
-    scale = sigmas / 1.6
+    scale = sigmas / 1.6   # fixed window/scale constant (see orientation_histogram)
     ca = jnp.cos(angles)
     sa = jnp.sin(angles)
     # rotated sample lattice
@@ -265,16 +282,16 @@ def detect_describe(image, max_features: int = 200, num_octaves: int = 4,
     back in full-resolution coordinates; capacity is ``max_features``
     per octave with dead slots masked via ``valid``."""
     kps, descs = [], []
-    for stack, sigmas, f in _octave_ladder(image, num_octaves, sigma0,
-                                           num_scales, 2 * border + 8,
-                                           first_octave):
+    for stack, sigmas, f, off in _octave_ladder(image, num_octaves, sigma0,
+                                                num_scales, 2 * border + 1,
+                                                first_octave):
         kp = _detect_from_stack(stack, sigmas, max_features,
                                 contrast_threshold, edge_ratio, border)
         base = stack[0]
         ang = orientation_histogram(base, kp.ys, kp.xs, kp.sigmas)
         desc = describe(base, kp.ys, kp.xs, kp.sigmas, ang)
-        kps.append(SiftKeypoints(kp.ys * f, kp.xs * f, kp.sigmas * f,
-                                 kp.scores, kp.valid))
+        kps.append(SiftKeypoints(kp.ys * f + off, kp.xs * f + off,
+                                 kp.sigmas * f, kp.scores, kp.valid))
         descs.append(desc)
     if not kps:
         z = jnp.zeros((max_features,), jnp.float32)
