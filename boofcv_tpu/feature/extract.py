@@ -114,3 +114,22 @@ def subpixel_quadratic(intensity: jnp.ndarray, det: Detections) -> tuple:
     ox = jnp.clip(ox, -0.5, 0.5)
     oy = jnp.clip(oy, -0.5, 0.5)
     return (yc + oy).astype(jnp.float32), (xc + ox).astype(jnp.float32)
+
+
+def detect_tracks(image, max_features: int, radius: int = 6,
+                  threshold: float = 1.0, border: int = 12,
+                  shi_tomasi_radius: int = 2):
+    """Shi-Tomasi corner detection for KLT track seeding — the shared
+    recipe of the 2D-motion host drivers (stitch2d, mono-plane VO,
+    overhead VO), previously copy-pasted in each.
+
+    Returns (ys [N] f32, xs [N] f32, valid [N] bool).
+    """
+    import jax.numpy as jnp
+    from boofcv_tpu.feature import intensity as _intensity
+
+    inten = _intensity.shi_tomasi(image, radius=shi_tomasi_radius)
+    det = detect(inten, max_features=max_features, radius=radius,
+                 threshold=threshold, border=border)
+    return (det.ys.astype(jnp.float32), det.xs.astype(jnp.float32),
+            det.valid)

@@ -100,7 +100,9 @@ def make_step(cfg: svo.StereoVoConfig, K):
         ok = res.num_inliers >= 6
         Rn = jnp.where(ok, Rn, state.R)
         tn = jnp.where(ok, tn, state.t)
-        alive = tracked & res.inliers
+        # prune only on an ACCEPTED pose (a failed RANSAC's mask is
+        # junk; see stereo_vo)
+        alive = tracked & (res.inliers | ~ok)
         new_state = state._replace(xs=xs, ys=ys, alive=alive, R=Rn, t=tn,
                                    key=key)
         frac = jnp.mean(alive.astype(jnp.float32))

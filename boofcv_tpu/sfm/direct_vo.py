@@ -132,13 +132,19 @@ class DirectDepthVisualOdometry:
             self._key = (jnp.asarray(gray), jnp.asarray(depth))
             return True
         kg, kd = self._key
-        R, t, rmse = self._est(kg, kd, jnp.asarray(gray),
-                               jnp.eye(3), jnp.zeros(3))
-        R = np.asarray(R)
-        t = np.asarray(t)
-        # world->cur = (key->cur) ∘ (world->key)
+        # warm-start from the last key->cur estimate: far from the
+        # keyframe the photometric GN otherwise re-converges from
+        # identity each frame and can stall in a local minimum
         R_kw = self.R_wk.T
         t_kw = -R_kw @ self.t_wk
+        R0 = self.R_cw @ self.R_wk
+        t0 = self.R_cw @ self.t_wk + self.t_cw
+        R, t, rmse = self._est(kg, kd, jnp.asarray(gray),
+                               jnp.asarray(R0), jnp.asarray(t0))
+        R = np.asarray(R)
+        t = np.asarray(t)
+        self.last_rmse = float(rmse)
+        # world->cur = (key->cur) ∘ (world->key)
         self.R_cw = R @ R_kw
         self.t_cw = R @ t_kw + t
         if float(rmse) > self.rekey_rmse:
@@ -146,7 +152,7 @@ class DirectDepthVisualOdometry:
             self.R_wk = self.R_cw.T
             self.t_wk = -self.R_cw.T @ self.t_cw
             self._key = (jnp.asarray(gray), jnp.asarray(depth))
-        return True
+        return bool(np.isfinite(rmse))
 
     def camera_to_world(self):
         return self.R_cw.T, -self.R_cw.T @ self.t_cw

@@ -194,7 +194,9 @@ def make_step(cfg: DualTrackVoConfig, rectK, baseline: float):
         Rn = jnp.where(ok, Rn, state.R)
         tn = jnp.where(ok, tn, state.t)
 
-        alive = tracked & res.inliers
+        # prune only on an ACCEPTED pose (a failed RANSAC's mask is
+        # junk; see stereo_vo)
+        alive = tracked & (res.inliers | ~ok)
         new_state = state._replace(lxs=lxs, lys=lys, rxs=rxs, rys=rys,
                                    alive=alive, R=Rn, t=tn, key=key)
 

@@ -44,11 +44,7 @@ class MonoPlaneVisualOdometry:
         self._tracks = None
 
     def _detect(self, image):
-        inten = intensity.shi_tomasi(image, radius=2)
-        det = extract.detect(inten, max_features=self.num_tracks, radius=6,
-                             threshold=1.0, border=12)
-        return (det.ys.astype(jnp.float32), det.xs.astype(jnp.float32),
-                det.valid)
+        return extract.detect_tracks(image, max_features=self.num_tracks)
 
     def process(self, image) -> bool:
         img = jnp.asarray(image, jnp.float32)
@@ -79,9 +75,17 @@ class MonoPlaneVisualOdometry:
             return False
         H = np.asarray(res.model)
         sols = selfcalib.homography_decompose(H, self.K, self.K)
-        # pick the solution whose plane normal matches the known one
-        best = max(sols, key=lambda s: float(s[2] @ self.n))
+        # pick the solution whose plane normal matches the known one;
+        # the decomposition normalizes every candidate to n[2] >= 0
+        # (negating t and n together), so compare by |dot| and re-align
+        # the (t, n) sign afterwards — a signed max silently selected a
+        # spurious Faugeras solution whenever the true normal has
+        # negative z in the camera frame
+        best = max(sols, key=lambda s: abs(float(s[2] @ self.n)))
         R_rel, t_over_d, n_est = best
+        if float(n_est @ self.n) < 0:
+            t_over_d = -t_over_d
+            n_est = -n_est
         t_rel = t_over_d * self.d
         # accumulate: world->cur = rel ∘ world->prev
         self.R_cw = R_rel @ self.R_cw

@@ -157,11 +157,7 @@ class MonoOverheadVisualOdometry:
         self._prev = None
 
     def _detect(self, image):
-        inten = intensity.shi_tomasi(image, radius=2)
-        det = extract.detect(inten, max_features=self.n, radius=6,
-                             threshold=1.0, border=12)
-        return (det.ys.astype(jnp.float32), det.xs.astype(jnp.float32),
-                det.valid)
+        return extract.detect_tracks(image, max_features=self.n)
 
     def process(self, image) -> bool:
         over = render_overhead(jnp.asarray(image), self.omap)
@@ -210,11 +206,23 @@ class MonoOverheadVisualOdometry:
 
     def plane_motion(self):
         """Current camera position on the plane: (x, z, yaw) in meters
-        relative to the first frame."""
+        relative to the first frame.
+
+        The accumulated SE2 lives in overhead PIXEL coordinates; plane
+        coords are the affine u = A p + b with A = diag(cell, -cell)
+        (+col = +x, +row = -z) and b = the plane point of pixel (0, 0).
+        Conjugating gives translation A t + (I - R_plane) b — the
+        (I - R) b term was previously dropped, so any yaw produced a
+        phantom translation of ~|b| * angle (meters).
+        """
         ang, tx, ty = self.se2
         cell = self.omap.cell
-        # overhead pixel axes: +col = +x, +row = -z
-        return float(tx * cell), float(-ty * cell), float(ang)
+        bx = self.omap.center_x
+        bz = self.omap.center_z + (self.oh - 1) * cell
+        ca, sa = np.cos(ang), np.sin(ang)
+        x = cell * tx + (1.0 - ca) * bx - sa * bz
+        z = -cell * ty + sa * bx + (1.0 - ca) * bz
+        return float(x), float(z), float(ang)
 
     def camera_to_world(self):
         """Camera->world SE3 (world = plane frame at the first frame)."""

@@ -38,6 +38,7 @@ class QuadVoConfig:
     max_disparity: float = 96.0
     epipolar_tol_px: float = 2.0        # |yL - yR| gate (rectified rows)
     max_match_error: float = 0.35       # SURF descriptor distance gate
+    # (compared as squared euclidean internally)
     ransac_hypotheses: int = 256
     inlier_threshold_px: float = 1.5
     refine_iterations: int = 10
@@ -79,14 +80,14 @@ def _stereo_match(l: FrameFeatures, r: FrameFeatures, cfg: QuadVoConfig):
     gate = same_row & (disp > 0.1) & (disp < cfg.max_disparity)
     s = jnp.where(gate, s, jnp.float32(jnp.finfo(jnp.float32).max))
     return associate.associate_mutual(s, l.valid, r.valid,
-                                      max_error=cfg.max_match_error)
+                                      max_error=cfg.max_match_error ** 2)
 
 
 def _frame_match(a: FrameFeatures, b: FrameFeatures, cfg: QuadVoConfig):
     """Previous->current mutual-NN for the same camera (assocSame analog)."""
     s = associate.score_euclidean_sq(a.desc, b.desc)
     return associate.associate_mutual(s, a.valid, b.valid,
-                                      max_error=cfg.max_match_error)
+                                      max_error=cfg.max_match_error ** 2)
 
 
 def init_state(cfg: QuadVoConfig, seed: int = 0) -> QuadVoState:

@@ -210,8 +210,13 @@ def _make_step_parts(cfg: StereoVoConfig, rectK, baseline: float):
         Rn = jnp.where(ok, Rn, state.R)
         tn = jnp.where(ok, tn, state.t)
 
-        # 3. drop outlier tracks (dropUnusedTracks:205)
-        alive = tracked & res.inliers
+        # 3. drop outlier tracks (dropUnusedTracks:205) — but ONLY when
+        # the pose was accepted: a failed RANSAC's inlier mask is from a
+        # junk hypothesis, and pruning with it collapses the pool and
+        # respawns new landmarks through the STALE pose, baking the
+        # missed motion into the map permanently (the reference leaves
+        # tracks untouched on failure)
+        alive = tracked & (res.inliers | ~ok)
 
         new_state = state._replace(xs=xs, ys=ys, alive=alive, R=Rn, t=tn,
                                    key=key)

@@ -49,11 +49,7 @@ class Stitcher:
 
     # ---- device helpers -------------------------------------------------
     def _detect(self, image):
-        inten = intensity.shi_tomasi(image, radius=2)
-        det = extract.detect(inten, max_features=self.n, radius=6,
-                             threshold=1.0, border=12)
-        return (det.ys.astype(jnp.float32), det.xs.astype(jnp.float32),
-                det.valid)
+        return extract.detect_tracks(image, max_features=self.n)
 
     def _track(self, pyr_prev, pyr_cur, ys, xs):
         grads = pyramid_ops.gradient(pyr_prev)
@@ -114,7 +110,12 @@ class Stitcher:
             self.H_mosaic_from_frame @ np.linalg.inv(H_cur_from_prev))
         self._blend(image, self.H_mosaic_from_frame)
 
-        alive_frac = float(jnp.mean((ok & res.inliers).astype(jnp.float32)))
+        # fraction of EVER-VALID tracks still inlying (a mean over the
+        # fixed capacity made feature-sparse scenes re-detect every
+        # frame even with 100% of real tracks surviving)
+        n_valid = float(jnp.sum(valid.astype(jnp.float32)))
+        alive_frac = float(jnp.sum((ok & res.inliers).astype(jnp.float32))
+                           ) / max(n_valid, 1.0)
         if alive_frac < self.retrack_below:
             self._tracks = self._detect(image)
         else:

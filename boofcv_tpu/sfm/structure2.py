@@ -12,14 +12,15 @@ pieces:
    the edge's "3D-ness" score = F-inliers / H-inliers (a mostly-planar
    or pure-rotation pair scores ~1 and is a bad seed — exactly the
    reference's is3D test),
-2. seed: the view triple connected by the two most-3D edges; metric
-   seed reconstruction + shared-K self-calibration via the trifocal
-   three-view pipeline (sfm/three_view.py),
-3. growth: remaining views are added by RANSAC-PnP against the metric
-   structure using the self-calibrated K; their matches triangulate new
-   points,
-4. final bundle adjustment over all views/points (normalized model,
-   fixed gauge on the seed pair).
+2. shared focal length by Sturm's equal-singular-value sweep over the
+   graph's own fundamental matrices, aggregated by inlier-weighted
+   median (focal_from_fundamentals),
+3. metric elevation + growth: the v1 metric graph is derived straight
+   from the already-estimated F's and inlier sets
+   (_metric_graph_from_edges — no second matching pass), then the v1
+   incremental PnP growth runs with the self-calibrated K,
+4. final bundle adjustment over all views/points with the focal as a
+   free parameter.
 
 Unlike sfm/reconstruction.py (v1), NO camera intrinsics are supplied —
 K comes out of the self-calibration.
@@ -236,46 +237,6 @@ def focal_from_fundamentals(g: PairwiseGraph2, width: int, height: int):
     return float(med)
 
 
-def _pick_seed_triple(g: PairwiseGraph2):
-    """Views (a, b, c) joined by the two most-3D edges through a common
-    view (ProjectiveInitializeAllCommon's seed heuristic)."""
-    edges = list(g.edges.values())
-    # vectorized over the [E, E] edge-pair table (the O(E^2) Python loop
-    # was quadratic-with-large-constant at 50 views / ~1k edges)
-    ea = np.array([e.a for e in edges])
-    eb = np.array([e.b for e in edges])
-    s3 = np.array([e.score_3d for e in edges])
-    ni = np.array([int(e.f_inliers.sum()) for e in edges])
-    shared = ((ea[:, None] == ea[None, :]).astype(np.int32)
-              + (ea[:, None] == eb[None, :])
-              + (eb[:, None] == ea[None, :])
-              + (eb[:, None] == eb[None, :]))
-    score = np.minimum(s3[:, None], s3[None, :]) \
-        * np.minimum(ni[:, None], ni[None, :])
-    upper = np.triu(np.ones_like(score, dtype=bool), k=1)
-    score = np.where((shared == 1) & upper, score, -1.0)
-    i, j = np.unravel_index(np.argmax(score), score.shape)
-    if score[i, j] <= 0:
-        raise ValueError("no connected 3D view triple in the graph")
-    return tuple(sorted({int(ea[i]), int(eb[i]), int(ea[j]), int(eb[j])}))
-
-
-def _triple_correspondences(g: PairwiseGraph2, va, vb, vc):
-    """Match-table join a<->b<->c (same role as AssociateThreeByPairs)."""
-    def edge(x, y):
-        if (x, y) in g.edges:
-            e = g.edges[(x, y)]
-            return dict(zip(e.src.tolist(), e.dst.tolist()))
-        e = g.edges[(y, x)]
-        return dict(zip(e.dst.tolist(), e.src.tolist()))
-
-    ab = edge(va, vb)
-    bc = edge(vb, vc)
-    triples = [(i, j, bc[j]) for i, j in ab.items() if j in bc]
-    return triples
-
-
-@jax.jit
 def _poses_from_essentials(E_mats, na, nb, mask):
     """Vmapped essential decomposition + masked cheirality selection for
     a BATCH of edges: E_mats [M, 3, 3], na/nb [M, N, 2] normalized
@@ -379,17 +340,56 @@ def reconstruct_uncalibrated(images, max_features: int = 300, detect=None,
     scene = reconstruction.reconstruct_incremental(
         g1, K, ba_iterations=ba_iterations, seed=seed + 1)
 
-    # global BA with FREE focal: polish f against every observation
+    # global BA with a SHARED free focal, optimized by golden-section
+    # search with the pose/point bundle nested inside each evaluation.
+    # A fixed shared f is exactly the normalized model with obs/f, so
+    # the existing solver nests unchanged; costs compare across f in
+    # pixel^2 units (cost_norm * f^2).  The earlier per-view-free-focal
+    # polish ("pinhole_f" + mean) was weakly constrained — measured on
+    # the 5-view oracle scene: all per-view focals drifted together
+    # 289 -> 326 (true 280) at noise-level residuals, because V
+    # independent focals + poses + points can trade off along a
+    # near-ambiguity that one shared parameter cannot.
     prob = scene["problem"]          # normalized model, converged
     obs_px = np.asarray(prob.obs_xy) * f0       # centered pixels
     vlist = sorted(scene["poses"])
-    prob2 = ba.make_problem(
-        np.asarray(prob.R), np.asarray(prob.t), np.asarray(prob.points),
-        obs_px, np.asarray(prob.obs_view), np.asarray(prob.obs_valid),
-        intr=np.full((prob.R.shape[0], 1), f0), model="pinhole_f",
-        fixed_views=np.asarray(prob.fixed_views))
-    out, info = ba.optimize(prob2, iterations=ba_iterations)
-    f_ref = float(np.mean(np.asarray(out.intr)[:, 0]))
+    R0 = np.asarray(prob.R)
+    t0 = np.asarray(prob.t)
+    X0 = np.asarray(prob.points)
+    ov = np.asarray(prob.obs_view)
+    oval = np.asarray(prob.obs_valid)
+    # gauge: fix ONE view (6 DoF; the scale null-direction is handled by
+    # LM damping).  Freezing the full seed PAIR — 12 DoF estimated under
+    # the initial focal guess — over-constrains the gauge and biases the
+    # recovered focal (measured on the 5-view oracle: the cost landscape
+    # bottoms at f=333 with the pair frozen vs f=280, the truth, with
+    # one view frozen).
+    fixed = np.zeros(R0.shape[0], bool)
+    fixed[0] = True
+
+    def solve_at(f):
+        pf = ba.make_problem(R0, t0, X0, obs_px / f, ov, oval,
+                             fixed_views=fixed)
+        out, info = ba.optimize(pf, iterations=max(ba_iterations // 2, 8))
+        return float(info["final_cost"]) * f * f, out
+
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    lo, hi = 0.6 * f0, 1.7 * f0
+    x1 = hi - gr * (hi - lo)
+    x2 = lo + gr * (hi - lo)
+    c1, o1 = solve_at(x1)
+    c2, o2 = solve_at(x2)
+    for _ in range(10):
+        if c1 < c2:
+            hi, x2, c2, o2 = x2, x1, c1, o1
+            x1 = hi - gr * (hi - lo)
+            c1, o1 = solve_at(x1)
+        else:
+            lo, x1, c1, o1 = x1, x2, c2, o2
+            x2 = lo + gr * (hi - lo)
+            c2, o2 = solve_at(x2)
+    f_ref, out, info = (x1, o1, {"final_cost": c1}) if c1 < c2 \
+        else (x2, o2, {"final_cost": c2})
     K = np.array([[f_ref, 0.0, (w - 1) / 2.0],
                   [0.0, f_ref, (h - 1) / 2.0], [0.0, 0.0, 1.0]])
     vmap_idx = scene["view_index"]

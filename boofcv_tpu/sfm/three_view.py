@@ -221,7 +221,7 @@ def estimate_from_images(img1, img2, img3, key=None, max_features: int = 300,
     f1, f2, f3 = detect(img1), detect(img2), detect(img3)
     i1, i2, i3, valid = associate.associate_three_by_pairs(
         jnp.asarray(f1.desc), jnp.asarray(f2.desc), jnp.asarray(f3.desc),
-        max_error=max_assoc_error,
+        max_error=max_assoc_error ** 2,
         valid1=jnp.asarray(f1.valid), valid2=jnp.asarray(f2.valid),
         valid3=jnp.asarray(f3.valid))
     v = np.asarray(valid)
