@@ -26,23 +26,25 @@ from boofcv_tpu.recognition.chessboard import _order_grid
 
 def _black_blob_contours(image, min_area: int = 20):
     """Otsu threshold (dark shapes), label, trace external contours.
-    Returns list of ([K,2] contour, area) for each big-enough blob."""
+    Returns list of ([K,2] contour, area) for each big-enough blob.
+
+    One labeling pass + one contour pass + one bincount: the previous
+    per-blob ``lab == u`` rescans were O(blobs * H * W) — ~200 full-image
+    passes on a noisy 640x480 frame before any detector logic ran."""
     img = jnp.asarray(image, jnp.float32)
     t = threshold.compute_otsu(img, float(jnp.min(img)), float(jnp.max(img)))
     bw = threshold.threshold(img, t, down=True)
     bw = binary.remove_point_noise(bw)
-    labels = binary.label_blobs(bw)
-    lab = np.asarray(labels)
+    lab = np.asarray(binary.label_blobs(bw))
+    areas = np.bincount(lab.ravel())
     out = []
-    for u in np.unique(lab):
-        if u == 0:
+    for cont in binary.contour_external(np.asarray(bw).astype(np.uint8)):
+        if len(cont) == 0:
             continue
-        area = int((lab == u).sum())
-        if area < min_area:
+        u = int(lab[cont[0][1], cont[0][0]])     # contour points are (x, y)
+        if u == 0 or areas[u] < min_area:
             continue
-        cs = binary.contour_external((lab == u).astype(np.uint8))
-        if cs:
-            out.append((cs[0], area))
+        out.append((cont, int(areas[u])))
     return out
 
 
@@ -198,9 +200,8 @@ def detect_square_grid(image, rows: int, cols: int, min_area: int = 20):
     return _order_grid(corners, 2 * rows, 2 * cols)
 
 
-def _circle_centers(image, rows: int, cols: int, min_area: int):
-    """Ellipse-fit the dark blobs, keep the size-consistent rows*cols."""
-    want = rows * cols
+def _circle_centers(image, want: int, min_area: int):
+    """Ellipse-fit the dark blobs, keep the ``want`` most size-consistent."""
     found = []
     for contour, area in _black_blob_contours(image, min_area):
         e = shapes.fit_ellipse(contour)
@@ -416,7 +417,7 @@ def detect_circle_regular_grid(image, rows: int, cols: int,
         g = _canonical_rotation(*res, (rows, cols))
         if g is not None:
             return g.reshape(-1, 2)
-    centers = _circle_centers(image, rows, cols, min_area)
+    centers = _circle_centers(image, rows * cols, min_area)
     if centers is None:
         return None
     return _order_grid(centers, rows, cols)
@@ -509,22 +510,9 @@ def detect_circle_hexagonal_grid(image, rows: int, cols: int,
                 best = (s, xy[order])
         if best is not None:
             return best[1]
-    found = []
-    for contour, area in _black_blob_contours(image, min_area):
-        e = shapes.fit_ellipse(contour)
-        if e is None or e["a"] <= 0 or e["b"] <= 0:
-            continue
-        if e["b"] / e["a"] < 0.3:
-            continue
-        found.append((np.asarray(e["center"], np.float64), area))
-    if len(found) < num:
+    pts = _circle_centers(image, num, min_area)
+    if pts is None:
         return None
-    if len(found) > num:
-        areas = np.array([a for _, a in found])
-        med = np.median(areas)
-        order = np.argsort(np.abs(areas - med))
-        found = [found[i] for i in order[:num]]
-    pts = np.stack([c for c, _ in found])
 
     # principal axes of the center cloud: rows separate along the axis
     # with the SMALLER spacing-variation
@@ -532,6 +520,12 @@ def detect_circle_hexagonal_grid(image, rows: int, cols: int,
     centered = pts - c
     _, _, Vt = np.linalg.svd(centered, full_matrices=False)
     major, minor = Vt[0], Vt[1]
+    # SVD axis signs are arbitrary and INDEPENDENT — fixing them
+    # independently can order a legitimate view as a REFLECTION of the
+    # true lattice.  Enforce a right-handed (major, minor) frame so only
+    # the 180-degree rotation remains ambiguous (resolved below).
+    if major[0] * minor[1] - major[1] * minor[0] < 0:
+        minor = -minor
     tm = centered @ minor     # coordinate across rows
     tj = centered @ major     # coordinate along rows
     # cluster rows: sort by tm, split where the gap exceeds half the
@@ -562,7 +556,14 @@ def detect_circle_hexagonal_grid(image, rows: int, cols: int,
         out.append(sel)
     expected = [(cols + 1) // 2 if r % 2 == 0 else cols // 2
                 for r in range(rows)]
-    if [len(o) for o in out] != expected and \
-       [len(o) for o in out] != expected[::-1]:
+    # candidates: as-built, and its 180-degree rotation (rows AND
+    # within-row order reversed — a PROPER rotation; the old code
+    # accepted expected[::-1] without reordering, returning a
+    # view-dependent — sometimes exactly reversed — correspondence)
+    flip = [o[::-1] for o in out[::-1]]
+    cands = [cand for cand in (out, flip)
+             if [len(o) for o in cand] == expected]
+    if not cands:
         return None
-    return np.concatenate(out, axis=0)
+    return min((np.concatenate(cand, axis=0) for cand in cands),
+               key=lambda a: float(a[0].sum()))

@@ -48,12 +48,13 @@ def xcorner_intensity(image) -> jnp.ndarray:
     b3 = s(2, 0)
     b4 = s(0, -2)
     mean = (a1 + a2 + a3 + a4 + b1 + b2 + b3 + b4) / 8.0
-    # diagonal pair vs axis pair, both polarities
+    # |diagonal-pair correlation - axis-pair correlation|: the absolute
+    # value covers the 45-degree-rotated corner (which negates the
+    # expression); the old max(r1, -r1) computed the same thing with
+    # every product duplicated
     r1 = (a1 - mean) * (a3 - mean) + (a2 - mean) * (a4 - mean) \
         - (b1 - mean) * (b3 - mean) - (b2 - mean) * (b4 - mean)
-    r2 = -((a1 - mean) * (a3 - mean) + (a2 - mean) * (a4 - mean)) \
-        + (b1 - mean) * (b3 - mean) + (b2 - mean) * (b4 - mean)
-    return jnp.maximum(r1, r2)
+    return jnp.abs(r1)
 
 
 def detect_corners(image, max_corners: int = 200, threshold_frac: float = 0.1):
@@ -366,10 +367,7 @@ def detect_chessboard(image, rows: int, cols: int, max_corners: int = 300):
         c = np.median(pts, axis=0)
         d = np.linalg.norm(pts - c, axis=1)
         pts = pts[np.argsort(d)[:n]]
-    grid = _order_grid(pts, rows, cols)
-    if grid is None and len(pts) == n:
-        return None
-    return grid
+    return _order_grid(pts, rows, cols)
 
 
 def validate_xcorners(image, ys, xs, radius: float = 4.5,

@@ -334,15 +334,16 @@ def mask_penalty(mat: np.ndarray) -> int:
     same = (m[:-1, :-1] == m[1:, :-1]) & (m[:-1, :-1] == m[:-1, 1:]) \
         & (m[:-1, :-1] == m[1:, 1:])
     score += 3 * int(np.sum(same))
-    # N3: finder-like 1:1:3:1:1 pattern with 4 light on either side
+    # N3: finder-like 1:1:3:1:1 pattern with 4 light on either side —
+    # vectorized sliding-window compare (the per-position Python loop
+    # made auto-mask encode ~65x slower than fixed-mask)
     pat = np.array([1, 0, 1, 1, 1, 0, 1, 0, 0, 0, 0], bool)
-    for needle in (pat, pat[::-1]):
-        k = len(needle)
+    k = len(pat)
+    if n >= k:
         for arr in (m, m.T):
-            for row in arr:
-                for i in range(n - k + 1):
-                    if np.array_equal(row[i:i + k], needle):
-                        score += 40
+            win = np.lib.stride_tricks.sliding_window_view(arr, k, axis=1)
+            for needle in (pat, pat[::-1]):
+                score += 40 * int((win == needle).all(-1).sum())
     # N4: dark-module proportion deviation from 50%
     dark = int(np.sum(m))
     pct = 100 * dark / (n * n)

@@ -24,9 +24,16 @@ from boofcv_tpu.recognition.qr import code as qr_code
 
 
 def _finder_score(gray, center, half):
-    """Check the 1:1:3:1:1 dark/light profile along x and y."""
+    """Check the 1:1:3:1:1 dark/light profile along x and y.
+
+    Sampling spans +-0.9*half: endpoints at exactly +-half sit ON the
+    quad boundary and round into the quiet zone, which turned every
+    outer 7-module quad into a 7-run light/dark profile that never
+    matched — detection silently depended on the inner white-hole
+    contour being traced separately (a 1-px bridge across the white
+    ring killed the whole detector)."""
     h, w = gray.shape
-    samples = np.linspace(-1.0, 1.0, 14)
+    samples = np.linspace(-0.9, 0.9, 21)
     ok = 0
     for axis in (0, 1):
         prof = []
@@ -150,7 +157,6 @@ def detect_and_decode(image, versions=None):
 
     for version in versions:
         n = 4 * version + 17
-        module = dist / (n - 7)
         # homography from module coords (center-of-module) to pixels using
         # the 3 finder centers + inferred 4th point (parallelogram)
         src = np.array([[3.5, 3.5], [n - 3.5, 3.5], [3.5, n - 3.5],

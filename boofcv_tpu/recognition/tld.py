@@ -20,7 +20,6 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-from boofcv_tpu.ip import integral as ii_ops
 from boofcv_tpu.ip.interpolate import bilinear
 
 
@@ -285,7 +284,8 @@ class TldTracker:
             r0, r1 = d0[iu], d1[iu]
             good = r0 > 2.0
             s = float(np.median(r1[good] / r0[good])) if good.any() else 1.0
-            s = float(np.clip(s, 0.8, 1.25))
+            s = float(np.clip(s, min(self.cfg.scale_steps),
+                              max(self.cfg.scale_steps)))
         else:
             s = 1.0
         ncy, ncx = cy + dy, cx + dx
@@ -339,15 +339,6 @@ class TldTracker:
                 self._learn(image, dcy, dcx, dh, dw, False)
         return True, self.box
 
-
-def _ii_sum(ii, y0, x0, y1, x1):
-    """Sum over [y0, y1) x [x0, x1) from an inclusive integral image."""
-    def at(y, x):
-        if y < 0 or x < 0:
-            return 0.0
-        return ii[min(y, ii.shape[0] - 1), min(x, ii.shape[1] - 1)]
-    return at(y1 - 1, x1 - 1) - at(y0 - 1, x1 - 1) - at(y1 - 1, x0 - 1) \
-        + at(y0 - 1, x0 - 1)
 
 
 def make_tracker(cfg: TldConfig | None = None, seed: int = 0) -> TldTracker:
