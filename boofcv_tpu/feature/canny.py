@@ -191,7 +191,7 @@ def edge_contours(mask) -> list[np.ndarray]:
             # one walker per 8-connected component (seeding below), so
             # two walkers can never claim the same pixel — no conflict
             # resolution needed
-            cur, cid = cand[any_ok, pick], cid[any_ok]
+            cur = cand[any_ok, pick]
             visited[cur] = True
             chain_of[cur] = cid
             step_of[cur] = step

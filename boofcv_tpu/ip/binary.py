@@ -199,15 +199,25 @@ def label_blobs_host(binary, eight: bool = True):
 def contour_external(binary, label: int | None = None) -> list[np.ndarray]:
     """Host-side external contour tracing (Moore neighborhood, CW), analog of
     LinearExternalContours.java.  Returns a list of [K, 2] (x, y) arrays,
-    one per blob, ordered by first (raster) pixel.  Uses the native C++
-    tracer (boofcv_tpu/native/ccl.cpp) when available; the pure-Python
-    tracer below is the reference fallback."""
-    if label is None:
-        from boofcv_tpu import native
-        res = native.external_contours(binary)
-        if res is not None:
-            return res
-    return _contour_external_py(binary, label)
+    ONE per blob, ordered by blob label (raster order of first pixels).
+    ``label`` selects a single blob (1-based ``label_blobs`` id).
+
+    Implementation note: the raw west-neighbor-is-background scan start
+    (the old fast path, still used by native boofcv_external_contours)
+    ALSO fires on blob pixels east of an interior hole, emitting the
+    hole's surrounding walk as a spurious extra "external" contour —
+    every dark ring (QR finder, square fiducial border) produced a
+    duplicate inner candidate.  Externals are therefore taken from the
+    per-label Chang2004 tracer (:func:`contours_with_holes`), which
+    keeps exactly one external contour per blob."""
+    res = contours_with_holes(binary)
+    ext = [d["external"] for d in res if d["external"] is not None]
+    if label is not None:
+        idx = label - 1
+        if idx < 0 or idx >= len(res) or res[idx]["external"] is None:
+            return []
+        return [res[idx]["external"]]
+    return ext
 
 
 # Moore neighborhood (dy, dx), clockwise in image coords starting from W
@@ -244,23 +254,6 @@ def _trace_radial(padded, traced, y, x, backtrack):
                 d = dd
                 break
     return np.array(contour, dtype=np.int32)
-
-
-def _contour_external_py(binary, label: int | None = None) -> list[np.ndarray]:
-    img = np.asarray(binary) > 0
-    h, w = img.shape
-    contours = []
-    padded = np.zeros((h + 2, w + 2), dtype=bool)
-    padded[1:-1, 1:-1] = img
-    traced = np.zeros_like(padded)
-    for y in range(1, h + 1):
-        for x in range(1, w + 1):
-            if not padded[y, x] or traced[y, x] or padded[y, x - 1]:
-                continue
-            # The raster scan entered from the west (background), so the
-            # backtrack direction is W (index 0); search clockwise.
-            contours.append(_trace_radial(padded, traced, y, x, 0))
-    return contours
 
 
 def contours_with_holes(binary) -> list[dict]:

@@ -148,9 +148,20 @@ def yuv420_to_rgb(y_plane, u_plane, v_plane):
     y = jnp.asarray(y_plane, jnp.float32)
     u = jnp.asarray(u_plane, jnp.float32) - 128.0
     v = jnp.asarray(v_plane, jnp.float32) - 128.0
-    # upsample chroma 2x (nearest, as the reference's integer decoder)
-    u = jnp.repeat(jnp.repeat(u, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
-    v = jnp.repeat(jnp.repeat(v, 2, 0), 2, 1)[: y.shape[0], : y.shape[1]]
+    # upsample chroma 2x (nearest, as the reference's integer decoder);
+    # odd-size luma planes need one row/col of edge padding — the bare
+    # [:H] slice cannot EXTEND the 2*(H//2) upsample and the RGB
+    # broadcast crashed for any odd H or W
+    def up(c):
+        c2 = jnp.repeat(jnp.repeat(c, 2, 0), 2, 1)
+        pad_y = y.shape[0] - c2.shape[0]
+        pad_x = y.shape[1] - c2.shape[1]
+        if pad_y > 0 or pad_x > 0:
+            c2 = jnp.pad(c2, ((0, max(pad_y, 0)), (0, max(pad_x, 0))),
+                         mode="edge")
+        return c2[: y.shape[0], : y.shape[1]]
+    u = up(u)
+    v = up(v)
     r = y + 1.402 * v
     g = y - 0.34414 * u - 0.71414 * v
     b = y + 1.772 * u

@@ -118,9 +118,8 @@ def hessian_from_gradient(dx: jnp.ndarray, dy: jnp.ndarray,
                           border: BorderType = BorderType.EXTENDED):
     """Hessian via differentiating the gradient (HessianFromGradient.java,
     Sobel variant).  Returns (dxx, dyy, dxy)."""
-    dxx, _ = sobel(dx, border)
+    dxx, dxy = sobel(dx, border)
     _, dyy = sobel(dy, border)
-    _, dxy = sobel(dx, border)
     return dxx, dyy, dxy
 
 

@@ -83,7 +83,11 @@ def scale(image: jnp.ndarray, out_shape, method="bilinear"):
     sx = w / w_out
 
     def tf(xs, ys):
-        return xs * sx, ys * sy
+        # clamp into the valid source range: dst pixel j maps to j*s,
+        # which for upscales pushes the last row/column past w-1 and the
+        # warp's validity mask filled the whole max edge with 0
+        return (jnp.minimum(xs * sx, w - 1.0),
+                jnp.minimum(ys * sy, h - 1.0))
 
     my, mx = make_warp_grid(tf, h_out, w_out)
     return warp(image, my, mx, method)

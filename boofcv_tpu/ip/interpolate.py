@@ -29,10 +29,14 @@ def bilinear(image: jnp.ndarray, ys, xs) -> jnp.ndarray:
     x0 = jnp.floor(xs)
     fy = (ys - y0).astype(image.dtype) if jnp.issubdtype(image.dtype, jnp.floating) else (ys - y0)
     fx = (xs - x0).astype(fy.dtype) if hasattr(fy, "dtype") else xs - x0
+    # clamp each tap from the UNCLAMPED floor: deriving the second tap
+    # from the clamped first (clip(x0i)+1) broke EXTENDED semantics for
+    # coords in (-1, 0) — floor -1 clamped to 0 but the second tap
+    # became pixel 1, interpolating toward the interior
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     v00 = image[y0i, x0i]
     v01 = image[y0i, x1i]
     v10 = image[y1i, x0i]

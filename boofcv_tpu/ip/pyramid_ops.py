@@ -28,9 +28,16 @@ def pyramid_discrete(image: jnp.ndarray, config: PyramidConfig) -> Tuple[jnp.nda
     cur = levels[0]
     for prev_s, s in zip(config.scales, config.scales[1:]):
         step = s // prev_s
+        if step & (step - 1) or s % prev_s:
+            raise ValueError(
+                f"pyramid scales must step by powers of 2, got {prev_s}"
+                f" -> {s} (a silent wrong-scale level otherwise)")
         while step > 1:
             blurred = convolve.separable(cur, k, k, BorderType.NORMALIZED)
-            cur = blurred[::2, ::2]
+            h, w = blurred.shape
+            # crop odd dims first so level sizes match pyramid_shapes'
+            # floor division ([::2] alone kept ceil(n/2) samples)
+            cur = blurred[: h - h % 2: 2, : w - w % 2: 2]
             step //= 2
         levels.append(cur)
     return tuple(levels)
@@ -42,6 +49,10 @@ def pyramid_average(image: jnp.ndarray, config: PyramidConfig) -> Tuple[jnp.ndar
     cur = levels[0]
     for prev_s, s in zip(config.scales, config.scales[1:]):
         step = s // prev_s
+        if step & (step - 1) or s % prev_s:
+            raise ValueError(
+                f"pyramid scales must step by powers of 2, got {prev_s}"
+                f" -> {s} (a silent wrong-scale level otherwise)")
         while step > 1:
             h, w = cur.shape
             cur = cur[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))

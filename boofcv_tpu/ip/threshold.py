@@ -81,11 +81,9 @@ def local_gaussian(image: jnp.ndarray, radius: int, scale: float = 0.95,
 
 
 def _local_mean_std(image: jnp.ndarray, radius: int):
-    img = image.astype(jnp.float32)
-    m = _blur.mean(img, radius)
-    m2 = _blur.mean(img * img, radius)
-    var = jnp.maximum(m2 - m * m, 0.0)
-    return m, jnp.sqrt(var)
+    # one source of truth for the windowed mean/std math
+    from boofcv_tpu.ip.stats import local_mean_std
+    return local_mean_std(image, radius)
 
 
 def sauvola(image: jnp.ndarray, radius: int, k: float = 0.3,
@@ -102,10 +100,8 @@ def sauvola(image: jnp.ndarray, radius: int, k: float = 0.3,
 def nick(image: jnp.ndarray, radius: int, k: float = -0.2,
          down: bool = True) -> jnp.ndarray:
     """NICK threshold (ThresholdNick.java): T = m + k*sqrt((sum(I^2)-m^2)/N)."""
-    img = image.astype(jnp.float32)
-    m = _blur.mean(img, radius)
-    m2 = _blur.mean(img * img, radius)
-    t = m + k * jnp.sqrt(jnp.maximum(m2 - m * m, 0.0))
+    m, s = _local_mean_std(image, radius)
+    t = m + k * s
     if down:
         return (image <= t).astype(jnp.uint8)
     return (image > t).astype(jnp.uint8)

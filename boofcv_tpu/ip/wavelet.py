@@ -83,22 +83,37 @@ def _synthesis_1d(a, d, lo, hi, axis):
 
 
 def dwt2(image, wavelet: str = "haar"):
-    """One-level 2D DWT: returns (LL, (LH, HL, HH))."""
+    """One-level 2D DWT: returns (LL, (LH, HL, HH)).
+
+    Odd dimensions are edge-padded to even first: the filter bank is
+    exactly invertible on the PADDED image, so ``idwt2(..., out_shape=
+    image.shape)`` recovers the original exactly (without the pad, the
+    analysis kept ceil(n/2) samples while synthesis rebuilt
+    2*ceil(n/2), and every odd-sized multi-level decomposition crashed
+    on a shape mismatch)."""
     lo, hi = _filters(wavelet)
     img = jnp.asarray(image, jnp.float32)
+    if img.shape[0] % 2:
+        img = jnp.concatenate([img, img[-1:]], axis=0)
+    if img.shape[1] % 2:
+        img = jnp.concatenate([img, img[:, -1:]], axis=1)
     a, d = _analysis_1d(img, lo, hi, axis=1)
     aa, ad = _analysis_1d(a, lo, hi, axis=0)
     da, dd = _analysis_1d(d, lo, hi, axis=0)
     return aa, (da, ad, dd)
 
 
-def idwt2(ll, bands, wavelet: str = "haar"):
+def idwt2(ll, bands, wavelet: str = "haar", out_shape=None):
+    """Inverse of :func:`dwt2`; ``out_shape`` crops the dwt2 padding."""
     lo, hi = _filters(wavelet)
     da, ad, dd = bands
     # undo axis-0 splits of the two column banks, then the axis-1 split
     a = _synthesis_1d(ll, ad, lo, hi, axis=0)
     d = _synthesis_1d(da, dd, lo, hi, axis=0)
-    return _synthesis_1d(a, d, lo, hi, axis=1)
+    x = _synthesis_1d(a, d, lo, hi, axis=1)
+    if out_shape is not None:
+        x = x[:out_shape[0], :out_shape[1]]
+    return x
 
 
 def wavedec2(image, wavelet: str = "haar", levels: int = 3):
@@ -111,10 +126,18 @@ def wavedec2(image, wavelet: str = "haar", levels: int = 3):
     return cur, coeffs[::-1]
 
 
-def waverec2(ll, coeffs, wavelet: str = "haar"):
+def waverec2(ll, coeffs, wavelet: str = "haar", out_shape=None):
+    """Inverse of :func:`wavedec2`.  Per-level output sizes come from
+    the next-finer bands (each analysis level's input shape is the
+    subband shape of the level below); ``out_shape`` crops the finest
+    level to the original image size (odd-size support)."""
     cur = ll
-    for bands in coeffs:
-        cur = idwt2(cur, bands, wavelet)
+    for i, bands in enumerate(coeffs):
+        if i + 1 < len(coeffs):
+            nxt = coeffs[i + 1][0].shape
+        else:
+            nxt = out_shape
+        cur = idwt2(cur, bands, wavelet, out_shape=nxt)
     return cur
 
 
@@ -140,7 +163,8 @@ def denoise_visu(image, wavelet: str = "haar", levels: int = 3):
     n = image.shape[0] * image.shape[1]
     t = sigma * jnp.sqrt(2.0 * jnp.log(n))
     out = [tuple(_soft(b, t) for b in bands) for bands in coeffs]
-    return waverec2(ll, out, wavelet)
+    return waverec2(ll, out, wavelet,
+                    out_shape=jnp.asarray(image).shape)
 
 
 def denoise_sure(image, wavelet: str = "haar", levels: int = 3):
@@ -176,7 +200,8 @@ def denoise_sure(image, wavelet: str = "haar", levels: int = 3):
 
     out = [tuple(_soft(b, sure_threshold(b)) for b in bands)
            for bands in coeffs]
-    return waverec2(ll, out, wavelet)
+    return waverec2(ll, out, wavelet,
+                    out_shape=jnp.asarray(image).shape)
 
 
 def denoise_bayes(image, wavelet: str = "haar", levels: int = 3):
@@ -194,4 +219,5 @@ def denoise_bayes(image, wavelet: str = "haar", levels: int = 3):
             t = s2 / sig_x
             thr_bands.append(_soft(b, t))
         out.append(tuple(thr_bands))
-    return waverec2(ll, out, wavelet)
+    return waverec2(ll, out, wavelet,
+                    out_shape=jnp.asarray(image).shape)

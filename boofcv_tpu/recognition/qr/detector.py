@@ -86,7 +86,7 @@ def find_position_patterns(image, min_area: float = 60.0):
             continue
         center = corners.mean(0)
         half = np.sqrt(area) / 2.0
-        if _finder_score(gray, center, half * 1.2):
+        if _finder_score(gray, center, half):
             quads.append(np.asarray(corners, np.float64))
     return quads
 

@@ -33,11 +33,20 @@ def test_native_ccl_matches_jax_label_propagation(eight):
 
 @needs_native
 def test_native_contours_match_python_tracer():
+    # contour_external routes through contours_with_holes (one external
+    # per blob); parity = native Chang2004 vs the pure-Python fallback
+    from boofcv_tpu import native
+
     rng = np.random.default_rng(1)
     for density in (0.15, 0.35, 0.6):
         img = random_binary(rng, 31, 44, density)
-        got = binary.contour_external(img)          # native path
-        want = binary._contour_external_py(img)     # python reference
+        got = binary.contour_external(img)          # native when available
+        orig = native.contours_with_holes
+        native.contours_with_holes = lambda *a, **k: None
+        try:
+            want = binary.contour_external(img)     # python fallback
+        finally:
+            native.contours_with_holes = orig
         assert len(got) == len(want)
         for g, w_ in zip(got, want):
             np.testing.assert_array_equal(g, w_)
