@@ -25,8 +25,11 @@ def gaussian_sigma_for_radius(radius: int, order: int = 0) -> float:
 
 
 def gaussian_radius_for_sigma(sigma: float, order: int = 0) -> int:
-    """Inverse of :func:`gaussian_sigma_for_radius` (ceil)."""
-    return int(math.ceil((6.0 * sigma * (1.0 + order * 0.15) - 1.0) / 2.0))
+    """Inverse of :func:`gaussian_sigma_for_radius` (ceil): the forward
+    map is sigma = (2r+1)/6 * (1 + 0.15*order), so the order factor
+    DIVIDES here (multiplying made every gaussian_deriv_kernel(sigma=..)
+    resolve a radius ~32% wider than the radius-specified equivalent)."""
+    return int(math.ceil((6.0 * sigma / (1.0 + order * 0.15) - 1.0) / 2.0))
 
 
 def gaussian_kernel(sigma: float = -1.0, radius: int = -1,

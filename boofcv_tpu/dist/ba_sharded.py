@@ -148,6 +148,11 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         dense path OOMs (measured).  1D meshes only.
     """
     n_shards = mesh.devices.size
+    if reduced_solver not in ("cholesky", "pcg"):
+        raise ValueError(
+            f"unknown reduced_solver {reduced_solver!r}; expected "
+            "'cholesky' or 'pcg' (a typo silently took the dense path "
+            "and OOMed at the scale pcg exists for)")
     if reduced_solver == "pcg" and len(mesh.axis_names) != 1:
         raise ValueError("pcg reduced solver supports 1D meshes only")
     V_orig = prob.R.shape[0]
@@ -158,7 +163,6 @@ def optimize_sharded(prob: BAProblem, mesh: Mesh, iterations: int = 20,
         V0 = prob.R.shape[0]
         V_pad = (-V0) % n_shards
         if V_pad:
-            import numpy as _np
             eye = jnp.broadcast_to(jnp.eye(3, dtype=prob.R.dtype),
                                    (V_pad, 3, 3))
             prob = prob._replace(

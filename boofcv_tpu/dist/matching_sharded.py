@@ -52,12 +52,19 @@ def match_pairs_sharded(mesh: Mesh, desc, xy, pair_idx, Kinv,
     keys = jax.random.split(jax.random.PRNGKey(seed), pair_idx.shape[0])
     n = desc.shape[1]
 
+    # zero-padded capacity slots must not associate: a pad row and pad
+    # column are mutual NNs at score 0, fabricating a correspondence at
+    # the padded (0, 0) coordinate that then enters RANSAC
+    valid_feat = jnp.linalg.norm(desc, axis=-1) > 0.0         # [V, N]
+
     def one_pair(key, pair):
         a, b = pair[0], pair[1]
         da = desc[a]
         db = desc[b]
         scores = associate.score_euclidean_sq(da, db)
-        m = associate.associate_mutual(scores, max_error=max_desc_error ** 2)
+        m = associate.associate_mutual(scores, max_error=max_desc_error ** 2,
+                                       valid_a=valid_feat[a],
+                                       valid_b=valid_feat[b])
         # normalized coords of matched points (invalid slots -> zeros)
         pa = xy[a][m.src]
         pb = xy[b][m.dst]
@@ -85,5 +92,9 @@ def match_pairs_sharded(mesh: Mesh, desc, xy, pair_idx, Kinv,
     def run(keys_shard, pairs_shard):
         return jax.vmap(one_pair)(keys_shard, pairs_shard)
 
+    # NOTE: run closes over desc/xy (baked as constants), so each CALL
+    # retraces.  Fine for the one-shot all-pairs stage this implements;
+    # per-frame callers should use structure2.generate_pairwise_graph's
+    # mesh= path, whose chunked program is jit-cached on shapes.
     out = jax.jit(run)(keys, pair_idx)
     return {k: np.asarray(v)[:k_true] for k, v in out.items()}

@@ -28,10 +28,13 @@ def ransac_pnp_sharded(mesh: Mesh, key, world, obs,
     """Distributed ransac_pnp: each device runs an independent hypothesis
     bank (distinct fold of ``key``), the best model is selected globally
     by inlier count (MSAC tie-break) via one all_gather of the per-device
-    winners, and the GN refine runs replicated on the union inlier set.
+    winners, and the GN refine runs replicated on the winning device's
+    inlier set.
 
-    Returns (RansacResult, (R, t)) exactly like geo.robust.ransac_pnp,
-    with effective K = num_hypotheses_per_device * mesh.size.
+    Returns (RansacResult, (R, t)) like geo.robust.ransac_pnp with
+    effective K = num_hypotheses_per_device * mesh.size: same f32
+    hypothesis bank + f32 GN refine recipe (f64 there is
+    software-emulated on TPU and was the hottest VO stage).
     """
     n_dev = mesh.shape[SHARD_AXIS]
     keys = jax.random.split(key, n_dev)
@@ -51,7 +54,8 @@ def ransac_pnp_sharded(mesh: Mesh, key, world, obs,
     def per_device(keys_shard, world_rep, obs_rep):
         res = robust.ransac(
             keys_shard[0], (world_rep, obs_rep),
-            solver=lambda s: pnp.p3p_grunert(s[0], s[1]),
+            solver=lambda s: pnp.p3p_grunert(s[0], s[1],
+                                             dtype=jnp.float32),
             scorer=_scorer, sample_size=3,
             num_hypotheses=num_hypotheses_per_device,
             inlier_threshold=inlier_threshold,
@@ -71,7 +75,7 @@ def ransac_pnp_sharded(mesh: Mesh, key, world, obs,
     Rr, tr = pnp.gauss_newton_pose(Rb, tb, w64, o64,
                                    weights=inl.astype(jnp.float64),
                                    iterations=refine_iterations,
-                                   damping=1e-9)
+                                   damping=1e-9, polish_iterations=0)
     result = robust.RansacResult(model=(Rb, tb, jnp.bool_(True)),
                                  inliers=inl,
                                  num_inliers=counts[best],

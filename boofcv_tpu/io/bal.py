@@ -47,7 +47,9 @@ def to_problem(data, max_obs_per_point: int | None = None) -> ba.BAProblem:
     """BAL arrays -> BAProblem ('snavely' camera model, [P, L] layout).
 
     Observations beyond max_obs_per_point (default: the true max) are
-    dropped with a warning count in .dropped (rare in BAL sets).
+    dropped with a stderr warning reporting the count (rare in BAL
+    sets; BAProblem is a fixed-field NamedTuple, so the count cannot
+    ride on the returned object).
     """
     cams = data["cameras"]
     n_cam = cams.shape[0]
@@ -77,6 +79,10 @@ def to_problem(data, max_obs_per_point: int | None = None) -> ba.BAProblem:
     intr = cams[:, 6:9]
     fixed = np.zeros(n_cam, bool)
     fixed[0] = True
+    if dropped:
+        import sys
+        print(f"# bal.to_problem: dropped {dropped} observations beyond "
+              f"max_obs_per_point={L}", file=sys.stderr)
     prob = ba.make_problem(R, t, pts, obs_xy, obs_view, obs_valid,
                            intr=intr, model="snavely", fixed_views=fixed)
     return prob

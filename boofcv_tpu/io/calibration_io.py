@@ -68,16 +68,35 @@ def _scalar(v):
 
 
 def _yaml_load(text: str):
-    """Minimal YAML subset loader (mappings, nested by 2-space indent,
-    inline [a, b] lists) — enough for our files and BoofCV's."""
+    """Minimal YAML subset loader (mappings, nested by indent, inline
+    [a, b] lists, and block sequences of scalars) — enough for our
+    files and BoofCV's.  Block sequences matter for interop: SnakeYAML
+    emits list-valued fields like ``radial`` as '- x' lines, which the
+    previous loader silently mangled into bogus mapping keys (the
+    loaded camera then had wrong distortion with no error)."""
     root: dict = {}
-    stack = [(-1, root)]
+    stack = [(-1, root, None)]          # (indent, container, key-in-parent)
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].rstrip()
         if not line.strip() or line.strip().startswith("---"):
             continue
         indent = len(line) - len(line.lstrip())
-        key, _, val = line.strip().partition(":")
+        stripped = line.strip()
+        if stripped.startswith("- "):
+            # block-sequence item: the enclosing key's value becomes a
+            # list.  Items may sit at the SAME indent as their key
+            # (SnakeYAML's default block style), so pop strictly-deeper
+            # entries only.
+            while len(stack) > 1 and stack[-1][0] > indent:
+                stack.pop()
+            parent_indent, parent, pkey = stack[-1]
+            if pkey is not None:
+                holder = stack[-2][1]
+                if not isinstance(holder.get(pkey), list):
+                    holder[pkey] = []
+                holder[pkey].append(_parse_scalar(stripped[2:].strip()))
+            continue
+        key, _, val = stripped.partition(":")
         val = val.strip()
         while stack and stack[-1][0] >= indent:
             stack.pop()
@@ -85,7 +104,7 @@ def _yaml_load(text: str):
         if val == "":
             child: dict = {}
             parent[key] = child
-            stack.append((indent, child))
+            stack.append((indent, child, key))
         else:
             parent[key] = _parse_scalar(val)
     return root

@@ -25,6 +25,11 @@ import numpy as np
 
 def save_pnm(path: str, image) -> None:
     img = np.asarray(image)
+    if img.ndim not in (2, 3) or (img.ndim == 3 and img.shape[2] != 3):
+        raise ValueError(
+            f"save_pnm supports [H, W] (P5) or [H, W, 3] (P6) arrays; "
+            f"got shape {img.shape} — a P6 header mandates exactly 3 "
+            "samples/pixel, so other channel counts corrupt the file")
     arr = np.clip(np.round(img), 0, 255).astype(np.uint8)
     with open(path, "wb") as f:
         if arr.ndim == 2:
@@ -52,10 +57,13 @@ def load_pnm(path: str) -> np.ndarray:
         i = j + 1
     magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
     body = data[i:]
+    # 16-bit PNM samples are 2-byte BIG-ENDIAN (the spec); reading them
+    # as uint8 previously returned interleaved high/low bytes silently
+    dt = np.dtype(">u2") if maxval > 255 else np.uint8
     if magic == b"P5":
-        arr = np.frombuffer(body, np.uint8, count=w * h).reshape(h, w)
+        arr = np.frombuffer(body, dt, count=w * h).reshape(h, w)
     elif magic == b"P6":
-        arr = np.frombuffer(body, np.uint8, count=w * h * 3).reshape(h, w, 3)
+        arr = np.frombuffer(body, dt, count=w * h * 3).reshape(h, w, 3)
     else:
         raise ValueError(f"unsupported PNM magic {magic!r}")
     return arr.astype(np.float32)
