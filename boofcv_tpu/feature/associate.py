@@ -177,7 +177,11 @@ def associate_mutual_tiled(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
         row_min, best_j = carry
         t, (bt, vbt) = inp
         s = (a2[:, None] + jnp.sum(bt * bt, axis=1)[None, :]
-             - 2.0 * (a @ bt.T))                     # [Na, tile]
+             - 2.0 * jnp.matmul(a, bt.T,
+                                precision=lax.Precision.HIGHEST))
+        # HIGHEST matches score_euclidean_sq — at the TPU default
+        # (bf16-grade f32) near-duplicate descriptors tie-broke
+        # differently between the tiled and full-matrix paths
         s = jnp.maximum(s, 0.0)
         s = jnp.where(va[:, None] & vbt[None, :], s, big)
         # row (a-side) running min

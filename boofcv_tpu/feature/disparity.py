@@ -64,10 +64,18 @@ def cost_volume(left: jnp.ndarray, right: jnp.ndarray,
     if cfg.error == "census":
         lc = census_mod.dense5x5(left).astype(jnp.uint32)
         rc = census_mod.dense5x5(right).astype(jnp.uint32)
+        w_img = left.shape[1]
 
         def per_pixel(d):
             rs = _shift_census(rc, cfg.min_disparity + d)
-            return _hamming32(lc, rs).astype(jnp.float32)
+            ham = _hamming32(lc, rs).astype(jnp.float32)
+            # out-of-range sentinel (the SAD path's 1e6 analog): the
+            # zero-filled shift otherwise scores hamming(lc, 0), which
+            # a locally-uniform left patch can WIN with — kept moderate
+            # (>> max hamming 24, small enough that the box-filter's
+            # f32 cumsums keep sub-bit resolution next to it)
+            oor = jnp.arange(w_img)[None, :] < (cfg.min_disparity + d)
+            return jnp.where(oor, 100.0, ham)
     else:
         def per_pixel(d):
             rs = _shift_right_image(right, cfg.min_disparity + d)
@@ -205,7 +213,7 @@ def _sparse_costs_sad(left, right, ys, xs, cfg):
     cheap static slices of the strip.  Out-of-image columns are masked
     to 1e6 per element exactly like the flat-gather fallback.
     """
-    from boofcv_tpu.kernels.window_gather import gather_windows, select_rows
+    from boofcv_tpu.kernels.window_gather import gather_windows
     h, w = left.shape
     rx, ry = cfg.radius_x, cfg.radius_y
     n_disp = cfg.max_disparity - cfg.min_disparity
@@ -219,16 +227,28 @@ def _sparse_costs_sad(left, right, ys, xs, cfg):
     right = right.astype(jnp.float32)
     ys_c = jnp.clip(ys - ry, 0, h - 1)
     oy = jnp.maximum((ys_c // 8) * 8, 0)
-    row_off = ys_c - oy                                  # in [0, 8)
     x0 = xs - rx - (cfg.min_disparity + n_disp - 1)      # leftmost column
+
+    # per-row EDGE-replicated selection: absolute window row ys-ry+j is
+    # clipped into the image like the flat-gather fallback clips each
+    # sample — the old whole-window offset clip (clip(ys-ry)) slid the
+    # window DOWN at the top border, scoring a patch centered at row ry
+    # instead of row ys and breaking sad/sad_xla equivalence there
+    j = jnp.arange(ph, dtype=jnp.int32)
+    win_rows = jnp.clip((ys - ry)[:, None] + j[None, :], 0, h - 1)         - oy[:, None]                                    # [N, PH] in [0,16)
+
+    def pick_rows(windows):
+        a = jnp.arange(windows.shape[1], dtype=jnp.int32)[None, None, :]
+        sel = (a == win_rows[:, :, None]).astype(windows.dtype)
+        return jnp.einsum("nra,naw->nrw", sel, windows)
 
     pad_l = wide_w + cfg.min_disparity                   # >= -min(x0) for x>=0
     strip16 = gather_windows(right, oy, x0, wy=16, wx=wide_w,
                              pad_left=pad_l, pad_bottom=16)
-    strip = select_rows(strip16, row_off, ph)            # [N, PH, W']
+    strip = pick_rows(strip16)                           # [N, PH, W']
     patch16 = gather_windows(left, oy, xs - rx, wy=16, wx=p,
                              pad_left=rx + 1, pad_bottom=16)
-    patch_l = select_rows(patch16, row_off, ph)          # [N, PH, P]
+    patch_l = pick_rows(patch16)                         # [N, PH, P]
 
     cols = x0[:, None] + jnp.arange(wide_w)[None, :]     # [N, W']
     colb = (cols >= 0) & (cols < w)
@@ -595,10 +615,15 @@ def sgm_hmi(left: jnp.ndarray, right: jnp.ndarray,
     h, w = left.shape
     pyr_l, pyr_r = [left.astype(jnp.float32)], [right.astype(jnp.float32)]
     for _ in range(levels - 1):
-        pyr_l.append(0.25 * (pyr_l[-1][0::2, 0::2] + pyr_l[-1][1::2, 0::2]
-                             + pyr_l[-1][0::2, 1::2] + pyr_l[-1][1::2, 1::2]))
-        pyr_r.append(0.25 * (pyr_r[-1][0::2, 0::2] + pyr_r[-1][1::2, 0::2]
-                             + pyr_r[-1][0::2, 1::2] + pyr_r[-1][1::2, 1::2]))
+        # crop odd dims first — the strided quadrant sums have
+        # mismatched shapes otherwise (odd inputs crashed)
+        def down(p):
+            hh, ww = p.shape[0] // 2 * 2, p.shape[1] // 2 * 2
+            p = p[:hh, :ww]
+            return 0.25 * (p[0::2, 0::2] + p[1::2, 0::2]
+                           + p[0::2, 1::2] + p[1::2, 1::2])
+        pyr_l.append(down(pyr_l[-1]))
+        pyr_r.append(down(pyr_r[-1]))
 
     scale = 2 ** (levels - 1)
     coarse_cfg = cfg._replace(
@@ -609,8 +634,14 @@ def sgm_hmi(left: jnp.ndarray, right: jnp.ndarray,
     for lvl in range(levels - 2, -1, -1):
         li, ri = pyr_l[lvl], pyr_r[lvl]
         hh, ww = li.shape
-        # upsample prior disparity (NN) and double its magnitude
-        up = jnp.repeat(jnp.repeat(disp, 2, 0), 2, 1)[:hh, :ww]
+        # upsample prior disparity (NN) and double its magnitude;
+        # edge-pad covers the odd row/col the even-cropped level lost
+        up = jnp.repeat(jnp.repeat(disp, 2, 0), 2, 1)
+        py, px = hh - up.shape[0], ww - up.shape[1]
+        if py > 0 or px > 0:
+            up = jnp.pad(up, ((0, max(py, 0)), (0, max(px, 0))),
+                         mode="edge")
+        up = up[:hh, :ww]
         prior = jnp.where(up >= 0, up * 2.0, INVALID)
         lvl_scale = 2 ** lvl
         lcfg = cfg._replace(

@@ -124,8 +124,12 @@ def detect_multi_octave(ii: jnp.ndarray, max_features_per_octave: int,
     all_out = []
     for o in range(num_octaves):
         step = 6 * (2 ** o)
-        base = 9 if o == 0 else 9 + 3 * step // 2  # follows 9,15.. / 15,27.. / 27,51..
-        sizes = tuple(base + i * step for i in range(4))
+        # reference ladder (FastHessianFeatureDetector octave sizes):
+        # {9,15,21,27}, {15,27,39,51}, {27,51,75,99} — each octave's
+        # first size is the previous octave's second, i.e. base = step+3
+        # (the old 9 + 3*step//2 gave {27,39,51,63} for octave 1,
+        # skipping the mid-scale band entirely)
+        sizes = tuple(step + 3 + i * step for i in range(4))
         all_out.append(detect(ii, max_features_per_octave, sizes))
     return ScaleDetections(
         jnp.concatenate([o.ys for o in all_out]),

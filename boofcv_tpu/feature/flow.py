@@ -24,27 +24,37 @@ from boofcv_tpu.ip import pyramid_ops
 from boofcv_tpu.ip.interpolate import bilinear
 
 
+def _shift_edge(f, dy, dx):
+    """f sampled at (y+dy, x+dx) with EDGE clamping — jnp.roll wraps
+    opposite edges together, creating false brightness-constancy
+    constraints at borders (a large image fraction at coarse pyramid
+    levels, where the corrupted flow seeds every finer level)."""
+    h, w = f.shape
+    p = jnp.pad(f, 1, mode="edge")
+    return p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+
+
 def _gradients_hs(i1, i2):
     """Horn-Schunck derivative estimates (average of forward diffs in the
     two frames, HornSchunck.java's kernel)."""
-    dx = 0.5 * (jnp.roll(i1, -1, 1) - jnp.roll(i1, 1, 1)
-                + jnp.roll(i2, -1, 1) - jnp.roll(i2, 1, 1)) * 0.5
-    dy = 0.5 * (jnp.roll(i1, -1, 0) - jnp.roll(i1, 1, 0)
-                + jnp.roll(i2, -1, 0) - jnp.roll(i2, 1, 0)) * 0.5
+    dx = 0.5 * (_shift_edge(i1, 0, 1) - _shift_edge(i1, 0, -1)
+                + _shift_edge(i2, 0, 1) - _shift_edge(i2, 0, -1)) * 0.5
+    dy = 0.5 * (_shift_edge(i1, 1, 0) - _shift_edge(i1, -1, 0)
+                + _shift_edge(i2, 1, 0) - _shift_edge(i2, -1, 0)) * 0.5
     dt = i2 - i1
     return dx, dy, dt
 
 
 def _laplacian_avg(f):
     """6/12-weighted neighborhood average used by Horn-Schunck."""
-    up = jnp.roll(f, 1, 0)
-    dn = jnp.roll(f, -1, 0)
-    lf = jnp.roll(f, 1, 1)
-    rt = jnp.roll(f, -1, 1)
-    d1 = jnp.roll(up, 1, 1)
-    d2 = jnp.roll(up, -1, 1)
-    d3 = jnp.roll(dn, 1, 1)
-    d4 = jnp.roll(dn, -1, 1)
+    up = _shift_edge(f, -1, 0)
+    dn = _shift_edge(f, 1, 0)
+    lf = _shift_edge(f, 0, -1)
+    rt = _shift_edge(f, 0, 1)
+    d1 = _shift_edge(f, -1, -1)
+    d2 = _shift_edge(f, -1, 1)
+    d3 = _shift_edge(f, 1, -1)
+    d4 = _shift_edge(f, 1, 1)
     return (up + dn + lf + rt) / 6.0 + (d1 + d2 + d3 + d4) / 12.0
 
 
@@ -324,10 +334,18 @@ def block_flow(image1, image2, search_radius: int = 4,
     rr = region_radius
     sads = []
     disps = []
+    sr = search_radius
+    # pad with a large sentinel so displacement candidates that fall
+    # off-image score terribly instead of matching WRAPPED content from
+    # the opposite edge (jnp.roll previously let e.g. bottom-edge pixels
+    # "match" the top of the image; the reference clamps the search
+    # region to bounds)
+    i2p = jnp.pad(i2, sr, constant_values=1e6)
     for dy in range(-search_radius, search_radius + 1):
         for dx in range(-search_radius, search_radius + 1):
-            shifted = jnp.roll(jnp.roll(i2, -dy, 0), -dx, 1)
+            shifted = i2p[sr + dy: sr + dy + h, sr + dx: sr + dx + w]
             e = jnp.abs(i1 - shifted)
+            e = jnp.minimum(e, 1e6)
             # box sum
             c = jnp.cumsum(jnp.pad(e, ((rr, rr), (rr, rr))), axis=0)
             c = jnp.pad(c, ((1, 0), (0, 0)))

@@ -247,7 +247,12 @@ def _track_level(image, desc, gx, gy, cy, cx, cfg: KltConfig):
         return cy, cx, done | converged, pp
 
     done0 = jnp.zeros((n,), dtype=bool)
-    pp0 = jnp.zeros((n,), image.dtype)
+    # float32 regardless of image dtype: the loop body produces float
+    # residual means, and a uint8 pyramid made the while_loop carry
+    # dtypes mismatch (the windowed path casts its image; this gather
+    # path is the equivalence-test oracle and must accept the same
+    # inputs)
+    pp0 = jnp.zeros((n,), jnp.float32)
     # while_loop with an all-converged early exit: tracks typically settle
     # in 3-5 GN steps, so running the full max_iterations (masked) wasted
     # ~3x the gather bandwidth of the level

@@ -37,12 +37,13 @@ def _hann2d(n: int) -> jnp.ndarray:
 
 def _gauss_response(n: int, sigma_factor: float = 0.0625) -> jnp.ndarray:
     sigma = jnp.sqrt(jnp.float32(n * n)) * sigma_factor
-    c = (n - 1) / 2.0
-    y = jnp.arange(n) - c
+    # build directly in the shifted frame with WRAPPED distances so the
+    # peak sits exactly at (0, 0) for any n (rolling a grid centered at
+    # the half-integer (n-1)/2 left an even-size target peaking between
+    # indices 0 and 1 — a +0.5 px per-frame drift bias in the tracker)
+    y = (jnp.arange(n) + n // 2) % n - n // 2
     d2 = y[:, None] ** 2 + y[None, :] ** 2
-    g = jnp.exp(-0.5 * d2 / (sigma ** 2))
-    # shift peak to (0,0) as the closed-form training target expects
-    return jnp.roll(jnp.roll(g, -int(c), 0), -int(c), 1)
+    return jnp.exp(-0.5 * d2 / (sigma ** 2))
 
 
 def _get_window(image, cy, cx, n):
@@ -252,6 +253,13 @@ def sfot_track(prev_image, image, state: SfotState, grid: int = 9,
     dang = jnp.arctan2(pdy1[iu], pdx1[iu]) - jnp.arctan2(pdy0[iu], pdx0[iu])
     dang = jnp.arctan2(jnp.sin(dang), jnp.cos(dang))   # wrap to [-pi, pi]
     drot = masked_median(dang, pm)
+    # no valid pair (all baselines under the 2 px gate, e.g. a tiny
+    # region): masked_median returns its float-max sentinel, which
+    # multiplied into height/width destroyed the tracker state — keep
+    # translation but hold scale/rotation instead
+    has_pairs = jnp.any(pm)
+    scale = jnp.where(has_pairs, scale, 1.0)
+    drot = jnp.where(has_pairs, drot, 0.0)
 
     good = n_ok >= min_tracks
     new = SfotState(
